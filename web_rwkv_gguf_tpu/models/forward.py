@@ -1,0 +1,340 @@
+"""Jitted forward passes for RWKV V4..V7 over dense ``[B, T]`` chunks.
+
+The whole layer stack runs as one ``lax.scan`` over stacked layer params
+(compile time independent of depth); the WKV recurrence inside each layer
+is a scan over T (``ops.wkv``, later a Pallas kernel). Padding tokens
+(``t >= lengths[b]``) never touch recurrent state.
+
+Op order mirrors the reference dispatchers exactly:
+  V4 ref: src/runtime/v4.rs:630-792      V5 ref: src/runtime/v5.rs:700-885
+  V6 ref: src/runtime/v6.rs:701-958      V7 ref: src/runtime/v7.rs:716-1007
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import basic as B
+from ..ops import wkv as W
+from .info import ModelInfo, ModelVersion
+
+LN_EPS = 1e-5  # ref: v7.rs:47
+GN_EPS = 64.0e-5  # ref: v7.rs:48
+L2_EPS = 1.0e-12  # ref: v7.rs:46
+
+
+# ---------------------------------------------------------------------------
+# state
+# ---------------------------------------------------------------------------
+
+
+def init_state(info: ModelInfo, batch: int) -> dict:
+    """Zero-initialized recurrent state (V4's max-trick row starts at
+    f32::MIN, ref: v4.rs:152-184)."""
+    L, C, H, hs = info.num_layer, info.num_emb, info.num_head, info.head_size
+    f32 = jnp.float32
+    if info.version == ModelVersion.V4:
+        return {
+            "att_shift": jnp.zeros((L, batch, C), f32),
+            "aa": jnp.zeros((L, batch, C), f32),
+            "bb": jnp.zeros((L, batch, C), f32),
+            "pp": jnp.full((L, batch, C), W.F32_MIN, f32),
+            "ffn_shift": jnp.zeros((L, batch, C), f32),
+        }
+    return {
+        "att_shift": jnp.zeros((L, batch, C), f32),
+        "wkv": jnp.zeros((L, batch, H, hs, hs), f32),
+        "ffn_shift": jnp.zeros((L, batch, C), f32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
+    """Token ids → ln0-normalized embeddings in f32 (ref: v7.rs:649-660)."""
+    x = params["emb"][tokens].astype(jnp.float32)
+    return B.layer_norm(x, params["ln0"]["w"], params["ln0"]["b"], LN_EPS)
+
+
+def logits_head(params: dict, x: jax.Array) -> jax.Array:
+    """Final LN + head matmul on selected rows (ref: v7.rs:1009-1036)."""
+    x = B.layer_norm(x, params["ln_out"]["w"], params["ln_out"]["b"], LN_EPS)
+    return params["head"].matmul(x)
+
+
+def _ffn_v4(ffn, x, shift, mask, lengths):
+    """Shared V4/V5/V6 FFN: sq-relu key, sigmoid(r) gate
+    (ref: v4.rs:725-785, channel_mix.wgsl:101-107)."""
+    rev = ffn.get("rev", False)
+    kx = B.token_shift(x, shift, ffn["mix_k"], reversed_mix=rev)
+    rx = B.token_shift(x, shift, ffn["mix_r"], reversed_mix=rev)
+    k = B.squared_relu(ffn["Wk"].matmul(kx))
+    v = ffn["Wv"].matmul(k)
+    r = ffn["Wr"].matmul(rx)
+    out = jax.nn.sigmoid(r) * v
+    new_shift = B.update_shift_state(x, lengths, shift)
+    return out, new_shift
+
+
+def _heads(x, H):
+    return x.reshape(x.shape[0], x.shape[1], H, -1)
+
+
+def _flat(x):
+    return x.reshape(x.shape[0], x.shape[1], -1)
+
+
+# ---------------------------------------------------------------------------
+# per-version layer bodies. Each takes (x [B,T,C] f32 residual, layer params,
+# layer state, mask [B,T], lengths [B]) and returns (x, new layer state).
+# ---------------------------------------------------------------------------
+
+
+def _layer_v4(info, blk, lst, x, mask, lengths):
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    kx = B.token_shift(xx, lst["att_shift"], att["mix_k"], reversed_mix=False)
+    vx = B.token_shift(xx, lst["att_shift"], att["mix_v"], reversed_mix=False)
+    rx = B.token_shift(xx, lst["att_shift"], att["mix_r"], reversed_mix=False)
+    k = att["Wk"].matmul(kx)
+    v = att["Wv"].matmul(vx)
+    r = att["Wr"].matmul(rx)
+    state4 = jnp.stack([lst["aa"], lst["bb"], lst["pp"]], axis=-1)
+    y, state4 = W.wkv4(state4, k, v, r, att["time_first"], att["time_decay"], mask)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
+    x = x + out
+
+    new = {
+        "att_shift": B.update_shift_state(xx, lengths, lst["att_shift"]),
+        "aa": state4[..., 0],
+        "bb": state4[..., 1],
+        "pp": state4[..., 2],
+        "ffn_shift": ffn_shift,
+    }
+    return x, new
+
+
+def _layer_v5(info, blk, lst, x, mask, lengths):
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    sh = lst["att_shift"]
+    kx = B.token_shift(xx, sh, att["mix_k"], reversed_mix=False)
+    vx = B.token_shift(xx, sh, att["mix_v"], reversed_mix=False)
+    rx = B.token_shift(xx, sh, att["mix_r"], reversed_mix=False)
+    gx = B.token_shift(xx, sh, att["mix_g"], reversed_mix=False)
+    k = _heads(att["Wk"].matmul(kx), H)
+    v = _heads(att["Wv"].matmul(vx), H)
+    r = _heads(att["Wr"].matmul(rx), H)
+    g = att["Wg"].matmul(gx)
+    y, wkv = W.wkv5(lst["wkv"], r, k, v, att["time_first"], att["time_decay"], mask)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y * jax.nn.silu(g)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
+    x = x + out
+
+    new = {
+        "att_shift": B.update_shift_state(xx, lengths, sh),
+        "wkv": wkv,
+        "ffn_shift": ffn_shift,
+    }
+    return x, new
+
+
+def _layer_v6(info, blk, lst, x, mask, lengths):
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    sh = lst["att_shift"]
+
+    # data-dependent 5-way lerp (ddlerp), ref: v6.rs:769-803
+    sx = B.token_shift(xx, sh, att["mix_x"], reversed_mix=True)
+    z = jnp.tanh(
+        jnp.einsum("btc,fc->btf", sx, att["tm_w1"], preferred_element_type=jnp.float32)
+    )  # [B,T,5r]
+    r5 = att["tm_w1"].shape[0] // 5
+    z = z.reshape(z.shape[0], z.shape[1], 5, r5)
+    mix = jnp.einsum(
+        "btfr,fcr->btfc", z, att["tm_w2"], preferred_element_type=jnp.float32
+    ) + att["time_mix"][None, None]  # [B,T,5,C]
+
+    def shift_with(m):
+        return B.token_shift(xx, sh, m, reversed_mix=True)
+
+    wx = shift_with(mix[:, :, 0])
+    kx = shift_with(mix[:, :, 1])
+    vx = shift_with(mix[:, :, 2])
+    rx = shift_with(mix[:, :, 3])
+    gx = shift_with(mix[:, :, 4])
+
+    k = _heads(att["Wk"].matmul(kx), H)
+    v = _heads(att["Wv"].matmul(vx), H)
+    r = _heads(att["Wr"].matmul(rx), H)
+    g = att["Wg"].matmul(gx)
+
+    # decay LoRA + StableExp (ref: v6.rs:831-849)
+    dz = jnp.tanh(
+        jnp.einsum("btc,dc->btd", wx, att["td_w1"], preferred_element_type=jnp.float32)
+    )
+    w_raw = jnp.einsum(
+        "btd,cd->btc", dz, att["td_w2"], preferred_element_type=jnp.float32
+    ) + att["time_decay"][None, None]
+    w = _heads(B.stable_exp(w_raw), H)
+
+    y, wkv = W.wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y * jax.nn.silu(g)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_k"], reversed_mix=True)
+    rx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_r"], reversed_mix=True)
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    vf = ffn["Wv"].matmul(kf)
+    rf = ffn["Wr"].matmul(rx2)
+    x = x + jax.nn.sigmoid(rf) * vf
+
+    new = {
+        "att_shift": B.update_shift_state(xx, lengths, sh),
+        "wkv": wkv,
+        "ffn_shift": B.update_shift_state(xx2, lengths, lst["ffn_shift"]),
+    }
+    return x, new
+
+
+def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    sh = lst["att_shift"]
+
+    rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
+    wx = B.token_shift(xx, sh, att["x_w"], reversed_mix=True)
+    kx = B.token_shift(xx, sh, att["x_k"], reversed_mix=True)
+    vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
+    ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
+    gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
+
+    r = att["Wr"].matmul(rx)
+    k = att["Wk"].matmul(kx)
+    v = att["Wv"].matmul(vx)
+
+    def lora(x_in, w_a, w_b, mid_act=None):
+        z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
+        if mid_act is not None:
+            z = mid_act(z)
+        return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
+
+    w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
+    a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
+    g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+
+    kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
+    k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])  # ref: control_k_v7.wgsl:73
+
+    # value residual from layer 0 (ref: v7.rs:895-921)
+    v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))
+    v_res = v + v_mix * (v0 - v)
+    is_first = layer_idx == 0
+    v = jnp.where(is_first, v, v_res)
+    v0 = jnp.where(is_first, v, v0)
+
+    w_dec = W.wkv7_act_w(w_in)
+    rh, wh, kh, vh = (_heads(t, H) for t in (r, w_dec, k, v))
+    kkh = _heads(kk, H)
+    ah = -kkh
+    bh = kkh * _heads(a, H)
+    y, wkv = W.wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
+    y = y * g
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["x_k"], reversed_mix=True)
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    vf = ffn["Wv"].matmul(kf)
+    x = x + vf  # channel_mix_v7: out = v (ref: channel_mix.wgsl:101-102)
+
+    new = {
+        "att_shift": B.update_shift_state(xx, lengths, sh),
+        "wkv": wkv,
+        "ffn_shift": B.update_shift_state(xx2, lengths, lst["ffn_shift"]),
+    }
+    return x, v0, new
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+
+def forward_chunk(
+    info: ModelInfo,
+    params: dict,
+    state: dict,
+    tokens: jax.Array,  # [B, T] int32
+    lengths: jax.Array,  # [B] int32 valid token counts
+    *,
+    rescale: int | None = None,
+) -> tuple[jax.Array, dict]:
+    """Run one chunk through all layers.
+
+    Returns ``(x, new_state)`` where ``x`` is the final residual stream
+    ``[B, T, C]`` in f32 (apply :func:`logits_head` to selected rows to
+    get logits). ``rescale`` halves the residual every N layers for
+    parity with reference rescaled loads (ref: v7.rs:1002-1004).
+    """
+    T = tokens.shape[1]
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    x = embed_tokens(params, tokens)
+    x = jnp.where(mask[..., None], x, 0.0)
+
+    version = info.version
+    L = info.num_layer
+    blocks = params["blocks"]
+    layer_ids = jnp.arange(L)
+    do_rescale = rescale is not None and rescale < L
+
+    if version == ModelVersion.V7:
+
+        def body(carry, xs):
+            x, v0 = carry
+            blk, lst, idx = xs
+            x, v0, new = _layer_v7(info, blk, lst, x, v0, idx, mask, lengths)
+            if do_rescale:
+                x = jnp.where((idx + 1) % rescale == 0, x * 0.5, x)
+            return (x, v0), new
+
+        v0_init = jnp.zeros_like(x)
+        (x, _), new_state = jax.lax.scan(body, (x, v0_init), (blocks, state, layer_ids))
+        return x, new_state
+
+    layer_fn = {
+        ModelVersion.V4: _layer_v4,
+        ModelVersion.V5: _layer_v5,
+        ModelVersion.V6: _layer_v6,
+    }[version]
+
+    def body(carry, xs):
+        blk, lst, idx = xs
+        x, new = layer_fn(info, blk, lst, carry, mask, lengths)
+        if do_rescale:
+            x = jnp.where((idx + 1) % rescale == 0, x * 0.5, x)
+        return x, new
+
+    x, new_state = jax.lax.scan(body, x, (blocks, state, layer_ids))
+    return x, new_state

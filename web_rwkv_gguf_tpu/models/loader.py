@@ -1,0 +1,363 @@
+"""Build per-version parameter pytrees from a GGUF/SafeTensors reader.
+
+Ref: src/runtime/loader.rs (vector/matrix loads, LoRA blending, quant
+selection, direct-quantized path) and the per-version builders
+(v4.rs:840-961, v5.rs:926-1110, v6.rs:994-1200, v7.rs:1039-1227).
+
+Layout decisions (TPU-first):
+  * All layer params are stacked with a leading ``[L, ...]`` axis so the
+    forward runs as a ``lax.scan`` over layers (one compiled layer body).
+  * Big matrices are :class:`Matrix` (dense bf16 or quantized); small
+    inner-LoRA adapters are dense f32 arrays.
+  * Mixing vectors / decay / bonus params are f32.
+  * The embedding table keeps f16 for bit-parity with the reference's CPU
+    embed; everything is upcast to f32 before LayerNorm.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.formats import QuantScheme
+from .info import ModelInfo, ModelVersion, detect_info
+from .matrix import Matrix
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class LoraPatch:
+    """A LoRA to merge at load (ref: loader.rs Lora/LoraBlend).
+
+    ``blend`` maps regex patterns to alpha; the last matching pattern wins
+    (ref: loader.rs:373-441).
+    """
+
+    reader: object  # GgufFile/SafeTensors-like reader
+    blend: list[tuple[str, float]] = field(default_factory=list)
+
+
+def _np(reader, name, dtype=np.float32) -> np.ndarray:
+    return np.asarray(reader.tensor(name, dtype))
+
+
+class _Loader:
+    def __init__(self, reader, lora: list[LoraPatch], quant, dtype):
+        self.reader = reader
+        self.lora = lora
+        self.quant = quant or {}
+        self.dtype = dtype
+
+    def _lora_vectors(self, name: str):
+        import re
+
+        out = []
+        for patch in self.lora:
+            if not patch.reader.contains(name):
+                continue
+            alpha = None
+            for pattern, a in patch.blend:
+                if re.search(pattern, name):
+                    alpha = a
+            if alpha is None:
+                continue
+            out.append((alpha, _np(patch.reader, name)))
+        return out
+
+    def _lora_matrices(self, name: str):
+        """(alpha, A, B) adds alpha/rank * B@A (ref: loader.rs blend_lora)."""
+        import re
+
+        out = []
+        for patch in self.lora:
+            a_name, b_name = f"{name}.lora.0", f"{name}.lora.1"
+            if not (patch.reader.contains(a_name) and patch.reader.contains(b_name)):
+                continue
+            alpha = None
+            for pattern, a in patch.blend:
+                if re.search(pattern, name):
+                    alpha = a
+            if alpha is None:
+                continue
+            out.append((alpha, _np(patch.reader, a_name), _np(patch.reader, b_name)))
+        return out
+
+    def vector(self, name: str) -> np.ndarray:
+        """f32 vector with LoRA vector blending: x ← α·lora + (1-α)·x
+        (ref: loader.rs:459-476 blend factor [alpha, 1-alpha])."""
+        v = _np(self.reader, name).reshape(-1)
+        for alpha, lv in self._lora_vectors(name):
+            v = alpha * lv.reshape(-1) + (1.0 - alpha) * v
+        return v
+
+    def vector_exp(self, name: str) -> np.ndarray:
+        """-exp(x) — V4 time_decay (ref: loader.rs:480-519 OppositeExp)."""
+        return -np.exp(self.vector(name))
+
+    def vector_exp_exp(self, name: str) -> np.ndarray:
+        """exp(-exp(x)) — V5 time_decay (ref: loader.rs:521-561 StableExp)."""
+        return np.exp(-np.exp(self.vector(name)))
+
+    def _apply_lora_matrix(self, name: str, w: np.ndarray) -> np.ndarray:
+        for alpha, a, b in self._lora_matrices(name):
+            rank = a.shape[0] if a.ndim == 2 else 1
+            w = w + (alpha / rank) * (b.astype(np.float32) @ a.astype(np.float32))
+        return w
+
+    def matrix_f32(self, name: str, discount: float = 1.0) -> np.ndarray:
+        w = _np(self.reader, name)
+        w = self._apply_lora_matrix(name, w)
+        if discount != 1.0:
+            w = w * discount
+        return w
+
+    def matrix(self, name: str, layer: int | None = None, discount: float = 1.0) -> Matrix:
+        """Load a big matrix honoring quant config and the direct-quantized
+        GGUF path (ref: loader.rs:756-921)."""
+        scheme = self.quant.get(layer, QuantScheme.NONE) if layer is not None else QuantScheme.NONE
+        has_lora = bool(self._lora_matrices(name))
+        if discount == 1.0 and not has_lora and hasattr(self.reader, "quantized_tensor"):
+            qt = self.reader.quantized_tensor(name)
+            if qt is not None:
+                dtype, raw = qt
+                shape = self.reader.shape(name)
+                try:
+                    return Matrix.from_gguf_blocks(dtype, raw, shape)
+                except ValueError:
+                    pass
+        w = self.matrix_f32(name, discount)
+        return Matrix.from_f16(w.astype(np.float16), scheme, self.dtype)
+
+
+def _stack(items: list[np.ndarray]) -> jnp.ndarray:
+    return jnp.asarray(np.stack(items))
+
+
+def _stack_matrices(mats: list[Matrix]) -> Matrix:
+    """Stack per-layer matrices into one Matrix with leading L axis."""
+    kind = mats[0].kind
+    shape = mats[0].shape
+    if any(m.kind != kind or m.shape != shape for m in mats):
+        raise ValueError(
+            "per-layer quantization formats differ; layer-stacked scan "
+            "requires a uniform format per tensor name"
+        )
+    arrays = {k: jnp.stack([m.arrays[k] for m in mats]) for k in mats[0].arrays}
+    return Matrix(kind, shape, arrays)
+
+
+def load_model(
+    reader,
+    *,
+    quant: dict[int, QuantScheme] | QuantScheme | None = None,
+    lora: list[LoraPatch] | None = None,
+    dtype=jnp.bfloat16,
+    rescale: int | None = None,
+):
+    """Load a model into ``(info, params)``.
+
+    ``quant``: per-layer requant scheme (or one scheme for all layers),
+    applied when the source matrix is not direct-quantized-loadable.
+    ``rescale``: halve-activation interval; weights of ``att.output`` /
+    ``ffn.value`` at layer L are pre-multiplied by ``2^-(L//rescale)`` and
+    the forward halves the residual every ``rescale`` layers — identity
+    math retained for parity with the reference (default: off; f32
+    residual cannot overflow). Ref: loader.rs:923-951, v7.rs:1002-1004.
+    """
+    info = detect_info(reader)
+    if isinstance(quant, QuantScheme):
+        quant = {i: quant for i in range(info.num_layer)}
+    ld = _Loader(reader, lora or [], quant, dtype)
+
+    rescale = rescale or 10**9
+    version = info.version
+    C, L, H = info.num_emb, info.num_layer, info.num_head
+    hs = info.head_size
+
+    params = {
+        "emb": jnp.asarray(_np(reader, "emb.weight", np.float16)),
+        "ln0": {"w": jnp.asarray(ld.vector("blocks.0.ln0.weight")),
+                "b": jnp.asarray(ld.vector("blocks.0.ln0.bias"))},
+        "ln_out": {"w": jnp.asarray(ld.vector("ln_out.weight")),
+                   "b": jnp.asarray(ld.vector("ln_out.bias"))},
+        "head": ld.matrix("head.weight"),
+    }
+
+    def ln(prefix):
+        return {
+            "w": [ld.vector(f"{p}.weight") for p in prefix],
+            "b": [ld.vector(f"{p}.bias") for p in prefix],
+        }
+
+    ln1 = [f"blocks.{i}.ln1" for i in range(L)]
+    ln2 = [f"blocks.{i}.ln2" for i in range(L)]
+
+    blocks: dict = {
+        "ln1": {k: _stack(v) for k, v in ln(ln1).items()},
+        "ln2": {k: _stack(v) for k, v in ln(ln2).items()},
+    }
+
+    def vecs(fmt):
+        return _stack([ld.vector(fmt.format(i=i)) for i in range(L)])
+
+    def mats(fmt, discounted=False):
+        out = []
+        for i in range(L):
+            d = 2.0 ** -(i // rescale) if discounted else 1.0
+            out.append(ld.matrix(fmt.format(i=i), layer=i, discount=d))
+        return _stack_matrices(out)
+
+    def dense_f32(fmt):
+        return _stack([ld.matrix_f32(fmt.format(i=i)) for i in range(L)])
+
+    if version == ModelVersion.V4:
+        blocks["att"] = {
+            "time_decay": vecs("blocks.{i}.att.time_decay"),
+            "time_first": vecs("blocks.{i}.att.time_first"),
+            "mix_k": vecs("blocks.{i}.att.time_mix_k"),
+            "mix_v": vecs("blocks.{i}.att.time_mix_v"),
+            "mix_r": vecs("blocks.{i}.att.time_mix_r"),
+            "Wk": mats("blocks.{i}.att.key.weight"),
+            "Wv": mats("blocks.{i}.att.value.weight"),
+            "Wr": mats("blocks.{i}.att.receptance.weight"),
+            "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
+        }
+        blocks["att"]["time_decay"] = jnp.asarray(
+            -np.exp(np.stack([ld.vector(f"blocks.{i}.att.time_decay") for i in range(L)]))
+        )
+        blocks["ffn"] = {
+            "mix_k": vecs("blocks.{i}.ffn.time_mix_k"),
+            "mix_r": vecs("blocks.{i}.ffn.time_mix_r"),
+            "Wk": mats("blocks.{i}.ffn.key.weight"),
+            "Wv": mats("blocks.{i}.ffn.value.weight", discounted=True),
+            "Wr": mats("blocks.{i}.ffn.receptance.weight"),
+        }
+    elif version == ModelVersion.V5:
+        blocks["att"] = {
+            "time_decay": jnp.asarray(
+                np.exp(-np.exp(np.stack([ld.vector(f"blocks.{i}.att.time_decay") for i in range(L)])))
+            ).reshape(L, H, hs),
+            "time_first": vecs("blocks.{i}.att.time_first").reshape(L, H, hs),
+            "mix_k": vecs("blocks.{i}.att.time_mix_k"),
+            "mix_v": vecs("blocks.{i}.att.time_mix_v"),
+            "mix_r": vecs("blocks.{i}.att.time_mix_r"),
+            "mix_g": vecs("blocks.{i}.att.time_mix_g"),
+            "gn": {"w": vecs("blocks.{i}.att.ln_x.weight"),
+                   "b": vecs("blocks.{i}.att.ln_x.bias")},
+            "Wk": mats("blocks.{i}.att.key.weight"),
+            "Wv": mats("blocks.{i}.att.value.weight"),
+            "Wr": mats("blocks.{i}.att.receptance.weight"),
+            "Wg": mats("blocks.{i}.att.gate.weight"),
+            "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
+        }
+        blocks["ffn"] = {
+            "mix_k": vecs("blocks.{i}.ffn.time_mix_k"),
+            "mix_r": vecs("blocks.{i}.ffn.time_mix_r"),
+            "Wk": mats("blocks.{i}.ffn.key.weight"),
+            "Wv": mats("blocks.{i}.ffn.value.weight", discounted=True),
+            "Wr": mats("blocks.{i}.ffn.receptance.weight"),
+        }
+    elif version == ModelVersion.V6:
+        # stacked 5-way mix params in (w, k, v, r, g) order (ref: v6.rs:1057-1075)
+        time_mix = np.stack(
+            [
+                np.stack(
+                    [ld.vector(f"blocks.{i}.att.time_mix_{s}") for s in "wkvrg"]
+                )
+                for i in range(L)
+            ]
+        )  # [L, 5, C]
+        blocks["att"] = {
+            "time_decay": vecs("blocks.{i}.att.time_decay"),  # raw; activated in fwd
+            "time_first": vecs("blocks.{i}.att.time_first").reshape(L, H, hs),
+            "mix_x": vecs("blocks.{i}.att.time_mix_x"),
+            "time_mix": jnp.asarray(time_mix),
+            "tm_w1": dense_f32("blocks.{i}.att.time_mix_w1"),  # [L, 5r, C]
+            "tm_w2": dense_f32("blocks.{i}.att.time_mix_w2"),  # [L, 5, C, r]
+            "td_w1": dense_f32("blocks.{i}.att.time_decay_w1"),  # [L, D, C]
+            "td_w2": dense_f32("blocks.{i}.att.time_decay_w2"),  # [L, C, D]
+            "gn": {"w": vecs("blocks.{i}.att.ln_x.weight"),
+                   "b": vecs("blocks.{i}.att.ln_x.bias")},
+            "Wk": mats("blocks.{i}.att.key.weight"),
+            "Wv": mats("blocks.{i}.att.value.weight"),
+            "Wr": mats("blocks.{i}.att.receptance.weight"),
+            "Wg": mats("blocks.{i}.att.gate.weight"),
+            "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
+        }
+        blocks["ffn"] = {
+            "mix_k": vecs("blocks.{i}.ffn.time_mix_k"),
+            "mix_r": vecs("blocks.{i}.ffn.time_mix_r"),
+            "Wk": mats("blocks.{i}.ffn.key.weight"),
+            "Wv": mats("blocks.{i}.ffn.value.weight", discounted=True),
+            "Wr": mats("blocks.{i}.ffn.receptance.weight"),
+        }
+    else:  # V7
+        zeros_c = np.zeros(C, np.float32)
+
+        def v7_vec(i, s, default=None):
+            name = f"blocks.{i}.att.{s}"
+            if reader.contains(name):
+                return ld.vector(name)
+            if default is not None:
+                return default
+            raise KeyError(name)
+
+        v0 = [v7_vec(i, "v0", zeros_c if i == 0 else None) for i in range(L)]
+        dv = info.custom.v or 1
+        zero_v1 = np.zeros((dv, C), np.float32)
+        zero_v2 = np.zeros((C, dv), np.float32)
+        v1 = [zero_v1 if i == 0 else ld.matrix_f32(f"blocks.{i}.att.v1") for i in range(L)]
+        v2 = [zero_v2 if i == 0 else ld.matrix_f32(f"blocks.{i}.att.v2") for i in range(L)]
+
+        blocks["att"] = {
+            **{f"x_{s}": vecs("blocks.{i}.att.x_" + s) for s in "rwkvag"},
+            "w0": vecs("blocks.{i}.att.w0"),
+            "a0": vecs("blocks.{i}.att.a0"),
+            "v0": _stack(v0),
+            "w1": dense_f32("blocks.{i}.att.w1"),
+            "w2": dense_f32("blocks.{i}.att.w2"),
+            "a1": dense_f32("blocks.{i}.att.a1"),
+            "a2": dense_f32("blocks.{i}.att.a2"),
+            "g1": dense_f32("blocks.{i}.att.g1"),
+            "g2": dense_f32("blocks.{i}.att.g2"),
+            "v1": _stack(v1),
+            "v2": _stack(v2),
+            "r_k": _stack([_np(reader, f"blocks.{i}.att.r_k").reshape(H, hs) for i in range(L)]),
+            "k_k": vecs("blocks.{i}.att.k_k"),
+            "k_a": vecs("blocks.{i}.att.k_a"),
+            "gn": {"w": vecs("blocks.{i}.att.ln_x.weight"),
+                   "b": vecs("blocks.{i}.att.ln_x.bias")},
+            "Wk": mats("blocks.{i}.att.key.weight"),
+            "Wv": mats("blocks.{i}.att.value.weight"),
+            "Wr": mats("blocks.{i}.att.receptance.weight"),
+            "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
+        }
+        blocks["ffn"] = {
+            "x_k": vecs("blocks.{i}.ffn.x_k"),
+            "Wk": mats("blocks.{i}.ffn.key.weight"),
+            "Wv": mats("blocks.{i}.ffn.value.weight", discounted=True),
+        }
+
+    params["blocks"] = blocks
+    return info, params
+
+
+def load_initial_state(reader, info: ModelInfo) -> np.ndarray:
+    """Load a pretrained ``time_state`` (per-layer WKV init) from a file.
+
+    Returns ``[L, H, K, V]`` f32, the WKV part of the engine state
+    (ref: v7.rs:1229-1262 — the reference transposes the stored
+    ``[H·V, K]`` matrix into its state rows).
+    """
+    L, H, hs = info.num_layer, info.num_head, info.head_size
+    out = np.zeros((L, H, hs, hs), np.float32)
+    for layer in range(L):
+        st = _np(reader, f"blocks.{layer}.att.time_state")
+        # stored [num_emb(head*v), head_size(k)] → per head [v, k] → [k, v]
+        st = st.reshape(H, hs, hs).transpose(0, 2, 1)
+        out[layer] = st
+    return out

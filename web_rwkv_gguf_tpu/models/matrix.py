@@ -1,0 +1,235 @@
+"""Weight-matrix abstraction over storage formats (dense / Int8 / NF4 /
+GGML K-quants), registered as a JAX pytree so matrices stack across layers
+and flow through ``lax.scan`` / ``jit`` / sharding.
+
+Physical layout is output-major ``[M, K]`` (row = output feature), the
+same major order as GGUF, so quantization block structures run along K.
+``matmul(x)`` computes ``x @ Wᵀ`` via einsum; XLA contracts on the MXU
+either way. Quantized formats dequantize on the fly (XLA fuses the
+elementwise expansion); the Pallas fused kernels in ``ops/pallas`` replace
+this on TPU for the supported formats.
+
+Ref: src/tensor/matrix.rs (Matrix enum + dispatch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.ggml import GgmlDType
+from ..quant import formats as qf
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Matrix:
+    kind: str  # "dense" | "int8" | "nf4" | "qk" | "qk_nomin" (static)
+    shape: tuple[int, int]  # logical (M, K) without layer stacking (static)
+    arrays: dict[str, Any]  # format-specific arrays (leaves)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return tuple(self.arrays[k] for k in keys), (self.kind, self.shape, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, shape, keys = aux
+        return cls(kind, shape, dict(zip(keys, children)))
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def dense(cls, w: jax.Array | np.ndarray) -> "Matrix":
+        return cls("dense", tuple(w.shape[-2:]), {"w": w})
+
+    @classmethod
+    def from_f16(
+        cls, w: np.ndarray, scheme: qf.QuantScheme, dtype=jnp.bfloat16
+    ) -> "Matrix":
+        """Build from a dense [M, K] matrix with optional engine requant
+        (ref: Quant::{None,Int8,NF4,SF4}, src/tensor/matrix.rs:211-271)."""
+        m, k = w.shape
+        if scheme == qf.QuantScheme.NONE:
+            return cls.dense(jnp.asarray(np.asarray(w), dtype))
+        if scheme == qf.QuantScheme.INT8:
+            codes, mn, mx = qf.quantize_int8(np.asarray(w, np.float32))
+            g = qf.INT8_BLOCK_SIZE
+            return cls(
+                "int8",
+                (m, k),
+                {
+                    "codes": jnp.asarray(codes.reshape(m, k)),
+                    "mn": jnp.asarray(mn.astype(np.float32).reshape(m, k // g)),
+                    "mx": jnp.asarray(mx.astype(np.float32).reshape(m, k // g)),
+                },
+            )
+        if scheme in (qf.QuantScheme.NF4, qf.QuantScheme.SF4):
+            lut = qf.NF4_QUANTILES if scheme == qf.QuantScheme.NF4 else qf.sf4_quantiles()
+            packed, absmax, lut = qf.quantize_nf4(np.asarray(w, np.float32), lut)
+            g = qf.NF4_BLOCK_SIZE
+            return cls(
+                "nf4",
+                (m, k),
+                {
+                    "codes": jnp.asarray(packed.reshape(m, k // 2)),
+                    "absmax": jnp.asarray(absmax.astype(np.float32).reshape(m, k // g)),
+                    "lut": jnp.asarray(lut),
+                },
+            )
+        raise ValueError(f"unsupported scheme {scheme}")
+
+    @classmethod
+    def from_gguf_blocks(cls, dtype: GgmlDType, raw: np.ndarray, shape) -> "Matrix":
+        """Direct-quantized load: repack raw GGML blocks into TPU-friendly
+        structured arrays (consecutive nibble order, de-interleaved scales).
+
+        The repack preserves exact dequant values: effective per-32-group
+        scale/min are precomputed in f32 (`d*sc`, `dmin*m`) exactly as the
+        reference kernels compute them (ref: matmul_vec_q4k_v2.wgsl).
+        """
+        from ..quant import repack
+
+        m, k = int(shape[0]), int(shape[1])
+        if dtype == GgmlDType.Q4_K:
+            codes, scales, mins = repack.repack_q4_k(raw, m, k)
+            return cls(
+                "qk",
+                (m, k),
+                {
+                    "codes": jnp.asarray(codes),
+                    "scales": jnp.asarray(scales),
+                    "mins": jnp.asarray(mins),
+                },
+            )
+        if dtype == GgmlDType.Q5_K:
+            codes, scales, mins = repack.repack_q5_k(raw, m, k)
+            return cls(
+                "qk_b",  # byte codes (0..31), not nibble-packed
+                (m, k),
+                {
+                    "codes": jnp.asarray(codes),
+                    "scales": jnp.asarray(scales),
+                    "mins": jnp.asarray(mins),
+                },
+            )
+        if dtype == GgmlDType.Q6_K:
+            codes, scales = repack.repack_q6_k(raw, m, k)
+            return cls(
+                "qk_nomin",
+                (m, k),
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+            )
+        if dtype == GgmlDType.Q8_0:
+            codes, scales = repack.repack_q8_0(raw, m, k)
+            return cls(
+                "qk_nomin",
+                (m, k),
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+            )
+        if dtype == GgmlDType.Q4_0:
+            codes, scales = repack.repack_q4_0(raw, m, k)
+            return cls(
+                "qk_nomin",
+                (m, k),
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+            )
+        raise ValueError(f"no direct-quantized repack for {dtype!r}")
+
+    # -- compute -----------------------------------------------------------
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Materialize the dense [..., M, K] weight matrix."""
+        a = self.arrays
+        if self.kind == "dense":
+            return a["w"].astype(dtype)
+        if self.kind == "int8":
+            g = self.shape[1] // a["mn"].shape[-1]
+            x = a["codes"].astype(jnp.float32) / 255.0
+            mn = jnp.repeat(a["mn"], g, axis=-1)
+            mx = jnp.repeat(a["mx"], g, axis=-1)
+            return (mn + x * (mx - mn)).astype(dtype)
+        if self.kind == "nf4":
+            codes = a["codes"]
+            lo = a["lut"][(codes & 0x0F).astype(jnp.int32)]
+            hi = a["lut"][(codes >> 4).astype(jnp.int32)]
+            w = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (self.shape[1],))
+            g = self.shape[1] // a["absmax"].shape[-1]
+            return (w * jnp.repeat(a["absmax"], g, axis=-1)).astype(dtype)
+        if self.kind == "qk":
+            codes = a["codes"]  # nibble-packed uint8 [..., M, K/2]
+            lo = (codes & 0x0F).astype(jnp.float32)
+            hi = (codes >> 4).astype(jnp.float32)
+            q = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (self.shape[1],))
+            g = self.shape[1] // a["scales"].shape[-1]
+            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
+            mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
+            return (q * s - mn).astype(dtype)
+        if self.kind == "qk_b":
+            q = a["codes"].astype(jnp.float32)
+            g = self.shape[1] // a["scales"].shape[-1]
+            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
+            mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
+            return (q * s - mn).astype(dtype)
+        if self.kind == "qk_nomin":
+            q = a["codes"].astype(jnp.float32)
+            g = self.shape[1] // a["scales"].shape[-1]
+            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
+            return (q * s).astype(dtype)
+        raise ValueError(f"unknown matrix kind {self.kind}")
+
+    def matmul(self, x: jax.Array, precision=None) -> jax.Array:
+        """``y[..., m] = Σ_k x[..., k] W[m, k]`` with f32 accumulation.
+
+        For layer-stacked matrices (arrays carry a leading L axis) call
+        through ``lax.scan`` so each slice is a plain [M, K].
+        """
+        if self.kind in ("qk_nomin", "qk_b", "int8") and x.ndim >= 2:
+            return self._matmul_grouped(x)
+        w = self.dequantize(jnp.bfloat16)
+        return jnp.einsum(
+            "...k,mk->...m", x.astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32,
+        )
+
+    def _matmul_grouped(self, x: jax.Array) -> jax.Array:
+        """Group-factored quantized matmul: contract integer codes on the
+        MXU, then apply per-group scales — avoids materializing the dense
+        dequantized matrix.
+
+        y[m] = Σ_g s[m,g]·(Σ_{k∈g} c[m,k]·x[k]) + Σ_g off[m,g]·(Σ_{k∈g} x[k])
+        """
+        a = self.arrays
+        m, k = self.shape
+        if self.kind == "int8":
+            # w = mn + (c/255)(mx-mn) → scale = (mx-mn)/255, offset = mn
+            scales = (a["mx"].astype(jnp.float32) - a["mn"].astype(jnp.float32)) / 255.0
+            offsets = a["mn"].astype(jnp.float32)
+        else:
+            scales = a["scales"].astype(jnp.float32)
+            offsets = -a["mins"].astype(jnp.float32) if "mins" in a else None
+        g = scales.shape[-1]
+        gsize = k // g
+        codes = a["codes"].astype(jnp.bfloat16)
+        xg = x.astype(jnp.bfloat16).reshape(x.shape[:-1] + (g, gsize))
+        # partial sums per group: [..., g, m]
+        p = jnp.einsum(
+            "...gk,mgk->...gm",
+            xg,
+            codes.reshape(m, g, gsize),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.einsum("...gm,mg->...m", p, scales)
+        if offsets is not None:
+            xs = xg.astype(jnp.float32).sum(-1)  # [..., g]
+            y = y + jnp.einsum("...g,mg->...m", xs, offsets)
+        return y
+
+    def astype(self, dtype) -> "Matrix":
+        if self.kind == "dense":
+            return Matrix.dense(self.arrays["w"].astype(dtype))
+        return self

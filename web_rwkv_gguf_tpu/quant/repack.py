@@ -1,0 +1,105 @@
+"""Load-time repackers: GGML block streams → TPU-friendly structured arrays.
+
+The WGSL kernels had to decode the interleaved GGML bit layout on every
+matmul (ref: matmul_vec_q4k_v2.wgsl:119-174). On TPU we choose the layout
+at load instead: codes are stored in plain element order and the 6-bit
+packed scale/min pairs are de-interleaved into dense per-group f32 arrays
+(`d*sc`, `dmin*m` precomputed — exactly the products the reference kernels
+form in-register), so Pallas kernels do only shifts/masks and FMAs.
+
+All repackers take the raw byte stream of a row-major ``[M, K]`` tensor
+(blocks run along K) and return arrays shaped ``[M, ...]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ggml import _blocks, _f16, _unpack_scale_min_k4
+
+
+def repack_q4_k(raw, m: int, k: int):
+    """→ (codes u8 [M, K/2] consecutive-nibble-packed, scales f32 [M, K/32],
+    mins f32 [M, K/32])."""
+    b = _blocks(raw, 144)
+    n = b.shape[0]
+    assert n * 256 == m * k, (n, m, k)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    scales = (d[:, None] * sc.astype(np.float32)).reshape(m, k // 32)
+    mins = (dmin[:, None] * mn.astype(np.float32)).reshape(m, k // 32)
+
+    qs = b[:, 16:144].reshape(n, 4, 32)
+    lo = qs & 0x0F
+    hi = qs >> 4
+    codes = np.stack([lo, hi], axis=2).reshape(n, 256)  # element order
+    pairs = codes.reshape(-1, 2)
+    packed = (pairs[:, 0] | (pairs[:, 1] << 4)).astype(np.uint8).reshape(m, k // 2)
+    return packed, scales, mins
+
+
+def repack_q5_k(raw, m: int, k: int):
+    """→ (codes u8 [M, K] values 0..31, scales f32 [M, K/32], mins f32 [M, K/32])."""
+    b = _blocks(raw, 176)
+    n = b.shape[0]
+    assert n * 256 == m * k
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    scales = (d[:, None] * sc.astype(np.float32)).reshape(m, k // 32)
+    mins = (dmin[:, None] * mn.astype(np.float32)).reshape(m, k // 32)
+
+    qh = b[:, 16:48]
+    ql = b[:, 48:176].reshape(n, 4, 32)
+    lo = ql & 0x0F
+    hi = ql >> 4
+    shifts = np.arange(8, dtype=np.uint8)
+    hbits = (((qh[:, None, :] >> shifts[None, :, None]) & 1) << 4).astype(np.uint8)
+    hbits = hbits.reshape(n, 4, 2, 32)
+    codes = (np.stack([lo, hi], axis=2) | hbits).reshape(n, 256)
+    return codes.reshape(m, k), scales, mins
+
+
+def repack_q6_k(raw, m: int, k: int):
+    """→ (codes i8 [M, K] values -32..31, scales f32 [M, K/16])."""
+    b = _blocks(raw, 210)
+    n = b.shape[0]
+    assert n * 256 == m * k
+    ql = b[:, 0:128].reshape(n, 2, 64)
+    qh = b[:, 128:192].reshape(n, 2, 32)
+    sc8 = b[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = _f16(b[:, 208:210])
+
+    lo = np.stack(
+        [ql[:, :, 0:32] & 0x0F, ql[:, :, 32:64] & 0x0F, ql[:, :, 0:32] >> 4, ql[:, :, 32:64] >> 4],
+        axis=2,
+    ).astype(np.int16)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    hi = ((qh[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int16)
+    codes = ((lo | (hi << 4)) - 32).astype(np.int8).reshape(n, 256)
+    scales = (d[:, None] * sc8).reshape(m, k // 16)
+    return codes.reshape(m, k), scales
+
+
+def repack_q8_0(raw, m: int, k: int):
+    """→ (codes i8 [M, K], scales f32 [M, K/32])."""
+    b = _blocks(raw, 34)
+    n = b.shape[0]
+    assert n * 32 == m * k
+    d = _f16(b[:, 0:2])
+    codes = b[:, 2:34].copy().view(np.int8)
+    return codes.reshape(m, k), d.reshape(m, k // 32)
+
+
+def repack_q4_0(raw, m: int, k: int):
+    """→ (codes i8 [M, K] values -8..7, scales f32 [M, K/32])."""
+    b = _blocks(raw, 18)
+    n = b.shape[0]
+    assert n * 32 == m * k
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:18]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    codes = np.stack([lo, hi], axis=-1).reshape(n, 32)
+    return codes.reshape(m, k), d.reshape(m, k // 32)
