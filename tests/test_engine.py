@@ -1,0 +1,164 @@
+"""Engine tests: prefill+decode loop parity with direct forward calls,
+mixed-batch continuous batching, FULL-option outputs, state save/restore."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from web_rwkv_gguf_tpu.gguf import GgufFile
+from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model, logits_head
+from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch, RnnOption, softmax
+
+import fixtures
+
+
+@pytest.fixture(scope="module")
+def model():
+    reader = GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8))
+    return load_model(reader)
+
+
+def _engine_generate(info, params, prompt, n_gen):
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch(list(prompt), RnnOption.LAST)], 32)
+    toks = []
+    logits = None
+    while inp.num_token > 0:
+        out = eng.infer(inp)
+        if len(out[0]):
+            logits = out[0][-1]
+    for _ in range(n_gen):
+        t = int(np.argmax(logits))
+        toks.append(t)
+        inp.batches[0].push(t)
+        out = eng.infer(inp)
+        logits = out[0][-1]
+    return toks
+
+
+def _direct_generate(info, params, prompt, n_gen):
+    state = init_state(info, 1)
+    x, state = forward_chunk(
+        info, params, state,
+        jnp.asarray(np.asarray(prompt)[None, :], jnp.int32),
+        jnp.asarray([len(prompt)], jnp.int32),
+    )
+    logits = np.asarray(logits_head(params, x[:, len(prompt) - 1]))[0]
+    toks = []
+    for _ in range(n_gen):
+        t = int(np.argmax(logits))
+        toks.append(t)
+        x, state = forward_chunk(
+            info, params, state,
+            jnp.asarray([[t]], jnp.int32), jnp.asarray([1], jnp.int32),
+        )
+        logits = np.asarray(logits_head(params, x[:, 0]))[0]
+    return toks
+
+
+def test_engine_matches_direct_generation(model):
+    info, params = model
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    got = _engine_generate(info, params, prompt, 8)
+    want = _direct_generate(info, params, prompt, 8)
+    assert got == want
+
+
+def test_engine_long_prompt_chunks(model):
+    """Prompt longer than token_chunk_size: several infer calls, logits
+    only on the final chunk."""
+    info, params = model
+    rng = np.random.default_rng(0)
+    prompt = list(rng.integers(0, info.num_vocab, 75))
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch(list(prompt), RnnOption.LAST)], 32)
+    chunks_with_logits = 0
+    calls = 0
+    while inp.num_token > 0:
+        out = eng.infer(inp)
+        calls += 1
+        if len(out[0]):
+            chunks_with_logits += 1
+            logits = out[0][-1]
+    assert calls == 3  # 32 + 32 + 11
+    assert chunks_with_logits == 1
+
+    want = _direct_generate(info, params, prompt, 1)
+    assert [int(np.argmax(logits))] == want
+
+
+def test_engine_full_option(model):
+    """FULL emits one logit row per token — e.g. for perplexity eval."""
+    info, params = model
+    prompt = [5, 3, 8, 2, 9]
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch(list(prompt), RnnOption.FULL)], 32)
+    out = eng.infer(inp)
+    assert out[0].shape == (5, info.num_vocab)
+
+    # rows must equal all-position logits from a direct run
+    state = init_state(info, 1)
+    x, _ = forward_chunk(
+        info, params, state,
+        jnp.asarray(np.asarray(prompt)[None, :], jnp.int32),
+        jnp.asarray([5], jnp.int32),
+    )
+    want = np.asarray(logits_head(params, x[0, :5]))
+    np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_mixed_batch_continuous(model):
+    """Two lanes: one mid-prompt, one decoding — both must match their
+    isolated single-lane runs."""
+    info, params = model
+    rng = np.random.default_rng(1)
+    p1 = list(rng.integers(0, info.num_vocab, 40))
+    p2 = list(rng.integers(0, info.num_vocab, 5))
+
+    eng = Engine(info, params, num_batch=2, token_chunk_size=32)
+    inp = RnnInput(
+        [RnnInputBatch(list(p1)), RnnInputBatch(list(p2))], 32
+    )
+    logits = [None, None]
+    for _ in range(10):
+        if inp.num_token == 0:
+            break
+        out = eng.infer(inp)
+        for b in range(2):
+            if len(out[b]):
+                logits[b] = out[b][-1]
+
+    w1 = _direct_generate(info, params, p1, 1)
+    w2 = _direct_generate(info, params, p2, 1)
+    assert int(np.argmax(logits[0])) == w1[0]
+    assert int(np.argmax(logits[1])) == w2[0]
+
+
+def test_state_save_restore(model):
+    info, params = model
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch([1, 2, 3, 4])], 32)
+    out = eng.infer(inp)
+    snap = eng.back_state(0)
+    l_before = out[0][-1]
+
+    # diverge, then restore and check the retry reproduces
+    inp.batches[0].push(int(np.argmax(l_before)))
+    eng.infer(inp)
+    eng.load_state(0, snap)
+    inp.batches[0].push(int(np.argmax(l_before)))
+    out2 = eng.infer(inp)
+
+    eng2 = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp2 = RnnInput([RnnInputBatch([1, 2, 3, 4])], 32)
+    o = eng2.infer(inp2)
+    inp2.batches[0].push(int(np.argmax(o[0][-1])))
+    out_ref = eng2.infer(inp2)
+    np.testing.assert_allclose(out2[0], out_ref[0], rtol=1e-5, atol=1e-5)
+
+
+def test_softmax_helper():
+    x = np.array([[1.0, 2.0, 3.0]])
+    p = softmax(x)
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+    assert p[0, 2] > p[0, 1] > p[0, 0]

@@ -1,0 +1,186 @@
+"""Inference engine: chunked continuous batching over jit-cached dense
+chunks.
+
+Replaces the reference's ``TokioRuntime`` speculative job pipeline
+(ref: src/runtime/mod.rs:84-219): JAX dispatch is asynchronous, so the
+host loop plans the next chunk while the device executes the current one,
+and compiled programs cached per ``(B, T-bucket)`` play the role of the
+reference's job cache keyed by token count. Chunk lengths are bucketed to
+powers of two to bound recompiles (cf. the reference's own perf note on
+chunk-size-keyed pipelines, performance-review.md:16-24).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.forward import forward_chunk, init_state, logits_head
+from ..models.info import ModelInfo
+from .scheduler import PlanBatch, Redirect, RnnInput, RnnOption, redirect
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Round up to the next power of two (≤ cap) to bound jit recompiles."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap) if cap >= n else n
+
+
+@dataclass
+class RnnOutput:
+    """Per-batch logit rows: list of ``[n_out, vocab]`` f32 arrays (empty
+    when a batch produced no logits this chunk)."""
+
+    batches: list[np.ndarray]
+
+    def __getitem__(self, i):
+        return self.batches[i]
+
+    def __len__(self):
+        return len(self.batches)
+
+
+@jax.jit
+def _softmax(x):
+    return jax.nn.softmax(x, axis=-1)
+
+
+def softmax(logits) -> np.ndarray:
+    """GPU softmax helper (ref: src/runtime/softmax.rs)."""
+    return np.asarray(_softmax(jnp.asarray(logits)))
+
+
+class Engine:
+    """Stateful batched inference over one loaded model.
+
+    The engine owns the recurrent state for ``num_batch`` lanes (like the
+    reference's ``Bundle``); ``infer`` consumes one chunk of the input per
+    call, returning logits per the per-batch output option.
+    """
+
+    def __init__(
+        self,
+        info: ModelInfo,
+        params,
+        num_batch: int,
+        *,
+        token_chunk_size: int = 128,
+        rescale: int | None = None,
+        initial_wkv: np.ndarray | None = None,
+    ):
+        self.info = info
+        self.params = params
+        self.num_batch = num_batch
+        self.token_chunk_size = token_chunk_size
+        self.state = init_state(info, num_batch)
+        if initial_wkv is not None:
+            # pretrained time_state: [L, H, K, V] broadcast over batch lanes
+            wkv = jnp.asarray(initial_wkv)[:, None]
+            self.state["wkv"] = jnp.broadcast_to(
+                wkv, self.state["wkv"].shape
+            ).astype(jnp.float32)
+        self._initial_wkv = initial_wkv
+
+        self._forward = jax.jit(
+            functools.partial(forward_chunk, info, rescale=rescale),
+            donate_argnums=(1,),
+        )
+        self._head = jax.jit(logits_head)
+
+    # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
+
+    def back_state(self, batch: int) -> dict:
+        """Read one lane's recurrent state to host (checkpoint/retry)."""
+        return jax.tree.map(lambda a: np.asarray(a[:, batch]), self.state)
+
+    def load_state(self, batch: int, snapshot: dict):
+        """Restore one lane's state from :meth:`back_state`."""
+        self.state = jax.tree.map(
+            lambda a, s: a.at[:, batch].set(jnp.asarray(s)), self.state, snapshot
+        )
+
+    def reset_state(self, batch: int | None = None):
+        fresh = init_state(self.info, self.num_batch)
+        if self._initial_wkv is not None:
+            wkv = jnp.asarray(self._initial_wkv)[:, None]
+            fresh["wkv"] = jnp.broadcast_to(wkv, fresh["wkv"].shape).astype(jnp.float32)
+        if batch is None:
+            self.state = fresh
+        else:
+            self.state = jax.tree.map(
+                lambda a, f: a.at[:, batch].set(f[:, batch]), self.state, fresh
+            )
+
+    # -- inference ---------------------------------------------------------
+
+    def infer(self, input: RnnInput) -> RnnOutput:
+        """Process one chunk of ``input`` (tokens are consumed in place).
+
+        Mirrors ``Runtime::infer`` (ref: src/runtime/mod.rs:267-276): call
+        repeatedly until every batch is drained / generation is driven by
+        pushing sampled tokens back into the input lanes.
+        """
+        if len(input.batches) != self.num_batch:
+            raise ValueError(
+                f"input has {len(input.batches)} batches, engine has {self.num_batch}"
+            )
+        plan = input.plan()
+        lens = [p.len for p in plan]
+        n_tok = sum(lens)
+        if n_tok == 0:
+            return RnnOutput([np.zeros((0, self.info.num_vocab), np.float32)] * self.num_batch)
+
+        T = _bucket(max(lens), self.token_chunk_size)
+        tokens = np.zeros((self.num_batch, T), np.int32)
+        for b, (batch, p) in enumerate(zip(input.batches, plan)):
+            chunk = batch.tokens[: p.len]
+            if any(not isinstance(t, (int, np.integer)) for t in chunk):
+                raise NotImplementedError(
+                    "embedding-vector tokens not yet supported in Engine"
+                )
+            tokens[b, : p.len] = chunk
+        lengths = jnp.asarray(lens, jnp.int32)
+
+        x, self.state = self._forward(
+            self.params, self.state, jnp.asarray(tokens), lengths
+        )
+
+        # gather logit-producing rows (dense-layout redirect)
+        rows_b, rows_t, counts = [], [], []
+        for b, p in enumerate(plan):
+            if p.option is None or p.len == 0:
+                counts.append(0)
+            elif p.option == RnnOption.LAST:
+                rows_b.append(b)
+                rows_t.append(p.len - 1)
+                counts.append(1)
+            else:  # FULL
+                rows_b.extend([b] * p.len)
+                rows_t.extend(range(p.len))
+                counts.append(p.len)
+
+        input.step(plan)
+
+        if not rows_b:
+            return RnnOutput([np.zeros((0, self.info.num_vocab), np.float32)] * self.num_batch)
+
+        n = len(rows_b)
+        npad = _bucket(n, 1 << 30)
+        bi = np.zeros(npad, np.int32)
+        ti = np.zeros(npad, np.int32)
+        bi[:n] = rows_b
+        ti[:n] = rows_t
+        rows = x[jnp.asarray(bi), jnp.asarray(ti)]
+        logits = np.asarray(self._head(self.params, rows))[:n]
+
+        out, off = [], 0
+        for c in counts:
+            out.append(logits[off : off + c])
+            off += c
+        return RnnOutput(out)
