@@ -1,0 +1,18 @@
+"""Multi-chip sharding: mesh construction and parameter/state shardings.
+
+New for the TPU build (the reference is strictly single-GPU, see
+SURVEY.md §2.6). Design follows the BASELINE north star: quantized
+weights tensor-sharded over ICI on a ``model`` axis (Megatron-style
+column/row parallel pairs → exactly one psum per attention and one per
+FFN, inserted automatically by XLA's SPMD partitioner), per-sequence
+recurrent state sharded with the batch on a ``data`` axis, WKV head state
+co-sharded with the heads on ``model``.
+"""
+
+from .sharding import (  # noqa: F401
+    make_mesh,
+    shard_params,
+    shard_state,
+    data_sharding,
+    multihost_initialize,
+)
