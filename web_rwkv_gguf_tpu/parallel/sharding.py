@@ -63,18 +63,27 @@ def multihost_initialize(**kwargs):
 
 def _shard_matrix(m: Matrix, mesh: Mesh, dim: str) -> Matrix:
     """Shard a layer-stacked Matrix on its output (column) or input (row)
-    dim. Arrays are [L, M, ...K-structured...]."""
-    out = {}
+    dim. Arrays are [L, M, ...K-structured...]. Falls back to replication
+    when a quantization-group dim is not divisible by the model axis."""
+    n_model = mesh.shape["model"]
+    specs = {}
     for k, a in m.arrays.items():
         if k == "lut":
-            spec = P()
+            specs[k] = P()
         elif dim == "col":
             # shard M: axis 1 of [L, M, *]
-            spec = P(None, "model")
+            specs[k] = P(None, "model")
+            if a.shape[1] % n_model:
+                return Matrix(m.kind, m.shape, _replicate(m.arrays, mesh))
         else:
             # shard K-structure: last axis of codes/scales/mins/mn/mx
-            spec = P(*([None] * (a.ndim - 1) + ["model"]))
-        out[k] = jax.device_put(a, NamedSharding(mesh, spec))
+            specs[k] = P(*([None] * (a.ndim - 1) + ["model"]))
+            if a.shape[-1] % n_model:
+                return Matrix(m.kind, m.shape, _replicate(m.arrays, mesh))
+    out = {
+        k: jax.device_put(a, NamedSharding(mesh, specs[k]))
+        for k, a in m.arrays.items()
+    }
     return Matrix(m.kind, m.shape, out)
 
 
