@@ -161,10 +161,11 @@ class Matrix:
             g = self.shape[1] // a["absmax"].shape[-1]
             return (w * jnp.repeat(a["absmax"], g, axis=-1)).astype(dtype)
         if self.kind == "qk":
-            codes = a["codes"]  # nibble-packed uint8 [..., M, K/2]
+            # split-halves nibble packing: byte j = el(j) | el(j+K/2)<<4
+            codes = a["codes"]  # uint8 [..., M, K/2]
             lo = (codes & 0x0F).astype(jnp.float32)
             hi = (codes >> 4).astype(jnp.float32)
-            q = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (self.shape[1],))
+            q = jnp.concatenate([lo, hi], axis=-1)
             g = self.shape[1] // a["scales"].shape[-1]
             s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
             mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)

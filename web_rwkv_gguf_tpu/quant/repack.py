@@ -19,8 +19,16 @@ from .ggml import _blocks, _f16, _unpack_scale_min_k4
 
 
 def repack_q4_k(raw, m: int, k: int):
-    """→ (codes u8 [M, K/2] consecutive-nibble-packed, scales f32 [M, K/32],
-    mins f32 [M, K/32])."""
+    """→ (codes u8 [M, K/2] split-halves-packed, scales f32 [M, K/32],
+    mins f32 [M, K/32]).
+
+    Split-halves packing: byte ``j`` of a row holds element ``j`` in its
+    low nibble and element ``j + K/2`` in its high nibble, so the kernel
+    reconstructs the row as ``concat(codes & 0xF, codes >> 4)`` — a
+    layout-friendly concatenation instead of an element interleave
+    (contraction over K is order-invariant, and the per-32-group scales
+    stay aligned because K/2 is a multiple of 32).
+    """
     b = _blocks(raw, 144)
     n = b.shape[0]
     assert n * 256 == m * k, (n, m, k)
@@ -33,9 +41,9 @@ def repack_q4_k(raw, m: int, k: int):
     qs = b[:, 16:144].reshape(n, 4, 32)
     lo = qs & 0x0F
     hi = qs >> 4
-    codes = np.stack([lo, hi], axis=2).reshape(n, 256)  # element order
-    pairs = codes.reshape(-1, 2)
-    packed = (pairs[:, 0] | (pairs[:, 1] << 4)).astype(np.uint8).reshape(m, k // 2)
+    codes = np.stack([lo, hi], axis=2).reshape(n, 256).reshape(m, k)  # element order
+    half = k // 2
+    packed = (codes[:, :half] | (codes[:, half:] << 4)).astype(np.uint8)
     return packed, scales, mins
 
 
