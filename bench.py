@@ -1,14 +1,14 @@
-"""Headline benchmark: RWKV-7 0.1B-config decode throughput on one chip.
+"""Headline benchmark: RWKV-7 0.1B-config Q4_K_M decode throughput/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference engine's generation throughput on its own headline
-config — 168.7 tok/s (RWKV-7 0.1B, SafeTensors F16, Apple M2 Max;
-BASELINE.md / reference plan.md:107). Methodology mirrors the reference's
-``bench_format`` (warmup then averaged timed runs); weights are synthetic
-random (no model files ship with the image) with the exact 0.1B shape
-(L=12, C=768, hs=64, V=65536).
+config — 169.5 tok/s (RWKV-7 0.1B, GGUF Q4_K native shaders, Apple M2
+Max; BASELINE.md / reference plan.md:108). Methodology mirrors the
+reference's ``bench_format`` (warmup then averaged timed runs); weights
+are synthetic random (no model files ship with the image) with the exact
+0.1B shape (L=12, C=768, hs=64, V=65536).
 
-Extra measurements (prefill, other configs) go to stderr.
+Extra measurements (dense-bf16 decode, prefill) go to stderr.
 """
 
 from __future__ import annotations
@@ -19,87 +19,94 @@ import time
 
 import numpy as np
 
-BASELINE_DECODE_TPS = 168.7
+BASELINE_DECODE_Q4K_TPS = 169.5
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _bench_decode(info, params, n_steps=256, B=1):
     import jax
     import jax.numpy as jnp
 
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state, logits_head
-    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    info, params = synthetic_v7_params()
-    log(f"model: RWKV-7 L={info.num_layer} C={info.num_emb} H={info.num_head} "
-        f"V={info.num_vocab} hidden={info.num_hidden} (bf16 dense)")
-
-    B = 1
 
     def decode_step(params, state, token):
-        x, state = forward_chunk(
-            info, params, state, token, jnp.ones((B,), jnp.int32)
-        )
+        x, state = forward_chunk(info, params, state, token, jnp.ones((B,), jnp.int32))
         logits = logits_head(params, x[:, 0])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
         return nxt, state
 
     step = jax.jit(decode_step, donate_argnums=(1,))
-
     state = init_state(info, B)
     token = jnp.zeros((B, 1), jnp.int32)
-
-    # warmup (compile + 8 steps)
     t0 = time.perf_counter()
     token, state = step(params, state, token)
     token.block_until_ready()
-    log(f"decode compile+first step: {time.perf_counter()-t0:.2f}s")
+    log(f"  compile+first step: {time.perf_counter()-t0:.2f}s")
     for _ in range(8):
         token, state = step(params, state, token)
     token.block_until_ready()
-
-    n_steps = 256
     t0 = time.perf_counter()
     for _ in range(n_steps):
         token, state = step(params, state, token)
     token.block_until_ready()
     dt = time.perf_counter() - t0
-    decode_tps = n_steps * B / dt
-    log(f"decode: {decode_tps:.1f} tok/s (batch={B}, {dt*1e3/n_steps:.3f} ms/step)")
+    return n_steps * B / dt
 
-    # prefill: 256-token chunk
-    T = 256
+
+def _bench_prefill(info, params, T=256, B=1, runs=5):
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+
     prefill = jax.jit(
         lambda p, s, t, l: forward_chunk(info, p, s, t, l), donate_argnums=(1,)
     )
     tokens = jnp.asarray(np.random.default_rng(0).integers(0, 1000, (B, T)), jnp.int32)
     lens = jnp.full((B,), T, jnp.int32)
-    state = init_state(info, B)
-    x, state = prefill(params, state, tokens, lens)
+    x, _ = prefill(params, init_state(info, B), tokens, lens)
     x.block_until_ready()
-    state = init_state(info, B)
-    runs = 5
     t0 = time.perf_counter()
     for _ in range(runs):
-        x, state = prefill(params, state, tokens, lens)
+        x, _ = prefill(params, init_state(info, B), tokens, lens)
     x.block_until_ready()
-    dt = time.perf_counter() - t0
-    prefill_tps = runs * T * B / dt
-    log(f"prefill: {prefill_tps:.0f} tok/s (T={T})")
+    return runs * T * B / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    log(f"device: {jax.devices()[0]}")
+
+    log("building Q4_K_M model (synthetic 0.1B)...")
+    info, params_q = synthetic_v7_params(quant="q4k")
+    log(f"model: RWKV-7 L={info.num_layer} C={info.num_emb} H={info.num_head} "
+        f"V={info.num_vocab} hidden={info.num_hidden}")
+
+    q4k_decode = _bench_decode(info, params_q)
+    log(f"decode  Q4_K (pallas fused): {q4k_decode:.1f} tok/s")
+    q4k_prefill = _bench_prefill(info, params_q)
+    log(f"prefill Q4_K (pallas fused): {q4k_prefill:.0f} tok/s")
+    del params_q
+
+    info, params_d = synthetic_v7_params()
+    bf16_decode = _bench_decode(info, params_d)
+    log(f"decode  bf16 dense:          {bf16_decode:.1f} tok/s")
+    bf16_prefill = _bench_prefill(info, params_d)
+    log(f"prefill bf16 dense:          {bf16_prefill:.0f} tok/s")
 
     print(
         json.dumps(
             {
-                "metric": "decode_tok_per_s_rwkv7_0.1b_batch1",
-                "value": round(decode_tps, 1),
+                "metric": "decode_tok_per_s_rwkv7_0.1b_q4km_batch1",
+                "value": round(q4k_decode, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(decode_tps / BASELINE_DECODE_TPS, 3),
+                "vs_baseline": round(q4k_decode / BASELINE_DECODE_Q4K_TPS, 3),
             }
         )
     )

@@ -257,7 +257,14 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
     kkh = _heads(kk, H)
     ah = -kkh
     bh = kkh * _heads(a, H)
-    y, wkv = W.wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
+    from ..ops.pallas import config as _pcfg
+
+    if _pcfg.use_pallas() and not _pcfg.interpret:
+        from ..ops.pallas.wkv7 import wkv7_pallas
+
+        y, wkv = wkv7_pallas(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
+    else:
+        y, wkv = W.wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
     y = y * g

@@ -187,8 +187,25 @@ class Matrix:
         """``y[..., m] = Σ_k x[..., k] W[m, k]`` with f32 accumulation.
 
         For layer-stacked matrices (arrays carry a leading L axis) call
-        through ``lax.scan`` so each slice is a plain [M, K].
+        through ``lax.scan`` so each slice is a plain [M, K]. On TPU,
+        quantized kinds dispatch to the fused Pallas dequant-matmul.
         """
+        if (
+            self.kind in ("qk", "qk_b", "qk_nomin", "int8")
+            and self.arrays["codes"].ndim == 2
+        ):
+            from ..ops.pallas import config as _pcfg
+
+            if _pcfg.use_pallas() and not _pcfg.interpret:
+                from ..ops.pallas.matmul import quant_matmul
+
+                m, k = self.shape
+                lead = x.shape[:-1]
+                n = 1
+                for d in lead:
+                    n *= d
+                y = quant_matmul(x.reshape(n, x.shape[-1]), self.kind, self.arrays, m, k)
+                return y.reshape(lead + (m,))
         if self.kind in ("qk_nomin", "qk_b", "int8") and x.ndim >= 2:
             return self._matmul_grouped(x)
         w = self.dequantize(jnp.bfloat16)

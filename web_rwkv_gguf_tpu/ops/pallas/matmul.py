@@ -29,8 +29,18 @@ from . import config
 
 
 def _expand_groups(s: jax.Array, gsize: int) -> jax.Array:
-    """[.., G] → [.., G*gsize] by repeating each group value."""
-    return jnp.repeat(s, gsize, axis=-1)
+    """[.., G] → [.., G*gsize] by repeating each group value.
+
+    Mosaic cannot lower ``jnp.repeat`` here (minor-dim reshape), so emit
+    an unrolled lane-slice concat: each group scalar broadcasts over its
+    32/16-lane span.
+    """
+    g = s.shape[-1]
+    parts = [
+        jnp.broadcast_to(s[..., i : i + 1], s.shape[:-1] + (gsize,))
+        for i in range(g)
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k, extra_refs):

@@ -221,6 +221,7 @@ def make_v6_gguf(
 def synthetic_v7_params(
     *, n_layer=12, n_emb=768, head_size=64, n_vocab=65536, n_hidden=None,
     lora_w=64, lora_a=64, lora_g=128, lora_v=32, seed=0, dtype=None,
+    quant=None,
 ):
     """Build RWKV-7 params directly as a JAX pytree (no GGUF round-trip) —
     for benchmarks and large-scale dry runs. Matches the layout produced
@@ -239,9 +240,21 @@ def synthetic_v7_params(
         return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32))
 
     def mat(*shape, scale=0.05):
-        return Matrix.dense(
-            jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32), dtype)
-        )
+        w = (rng.normal(size=shape) * scale).astype(np.float32)
+        if quant == "q4k":
+            from ..quant.ggml import quantize_q4_k
+            from ..quant.ggml import GgmlDType
+
+            per = []
+            w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
+            for wi in w2:
+                raw = np.frombuffer(quantize_q4_k(wi.reshape(-1)), np.uint8)
+                per.append(Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, wi.shape))
+            if len(shape) == 2:
+                return per[0]
+            arrays = {k: jnp.stack([m.arrays[k] for m in per]) for k in per[0].arrays}
+            return Matrix(per[0].kind, per[0].shape, arrays)
+        return Matrix.dense(jnp.asarray(w, dtype))
 
     info = ModelInfo(
         version=ModelVersion.V7, num_layer=L, num_emb=C, num_hidden=n_hidden,
