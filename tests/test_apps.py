@@ -1,0 +1,185 @@
+"""End-to-end app tests: gen / batch / inspect / serde / ppl / convert /
+bench_format run against a tiny on-disk model with a byte-level vocab."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import fixtures
+
+
+@pytest.fixture(scope="module")
+def model_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("m")
+    path = d / "tiny_v7.gguf"
+    path.write_bytes(
+        fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8, n_vocab=300)
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("v")
+    path = d / "vocab.json"
+    vocab = {str(i): [i] for i in range(256)}
+    for i in range(256, 300):
+        vocab[str(i)] = f"<tok{i}>"
+    path.write_text(json.dumps(vocab))
+    return str(path)
+
+
+def test_gen_app(model_file, vocab_file, capsys):
+    from web_rwkv_gguf_tpu.apps import gen
+
+    gen.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--prompt", "hi", "--max-tokens", "5", "--sampler", "greedy",
+        "--stop", "\x00\x00\x00",
+    ])
+    out = capsys.readouterr().out
+    assert "hi" in out
+
+
+def test_batch_app(model_file, vocab_file, capsys):
+    from web_rwkv_gguf_tpu.apps import batch
+
+    batch.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--prompt", "ab", "--prompt", "xyz", "--max-tokens", "4",
+        "--sampler", "greedy",
+    ])
+    out = capsys.readouterr().out
+    assert "lane 0" in out and "lane 1" in out
+
+
+def test_inspect_app(model_file, capsys):
+    from web_rwkv_gguf_tpu.apps import inspect
+
+    inspect.main([model_file, "--tensors", "--detect"])
+    out = capsys.readouterr().out
+    assert "gguf version: 3" in out
+    assert "blk.0.time_mix_key.weight" in out
+    assert "V7" in out
+
+
+def test_serde_app(model_file, vocab_file, tmp_path, capsys):
+    from web_rwkv_gguf_tpu.apps import serde, gen
+
+    snap = str(tmp_path / "model.rwkvz")
+    serde.main(["--model", model_file, "--quant", "int8", "--output", snap])
+    # reload the snapshot through gen
+    gen.main([
+        "--model", snap, "--vocab", vocab_file,
+        "--prompt", "ok", "--max-tokens", "3", "--sampler", "greedy",
+        "--stop", "\x00\x00\x00",
+    ])
+    out = capsys.readouterr().out
+    assert "ok" in out
+
+
+def test_ppl_app(model_file, vocab_file, tmp_path, capsys):
+    from web_rwkv_gguf_tpu.apps import ppl
+
+    text = tmp_path / "t.txt"
+    text.write_text("hello world, this is a test of perplexity evaluation.")
+    ppl.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--text", str(text), "--max-tokens", "64", "--chunk", "16",
+    ])
+    out = capsys.readouterr().out
+    assert "ppl=" in out
+
+
+def test_ppl_chunking_invariant(model_file, vocab_file, tmp_path):
+    """Perplexity must not depend on the evaluation chunk size (state
+    carries across chunks)."""
+    from web_rwkv_gguf_tpu.apps.common import load_tokenizer
+    from web_rwkv_gguf_tpu.apps.ppl import evaluate_ppl
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import load_model
+
+    tok = load_tokenizer(vocab_file)
+    info, params = load_model(GgufFile(open(model_file, "rb").read()))
+    text = "hello world, this is a test. " * 4
+    p1, n1, c1 = evaluate_ppl(info, params, tok, text, chunk=8)
+    p2, n2, c2 = evaluate_ppl(info, params, tok, text, chunk=64)
+    assert c1 == c2
+    np.testing.assert_allclose(n1, n2, rtol=1e-4)
+
+
+def test_convert_app(tmp_path, capsys):
+    """BlinkDL-style v7 .pth → GGUF → load → forward."""
+    import torch
+
+    from web_rwkv_gguf_tpu.apps import convert
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import ModelVersion, forward_chunk, init_state, load_model
+
+    rng = np.random.default_rng(0)
+    C, L, HS, V, HID, D = 16, 2, 8, 64, 64, 4
+
+    def t(*s, scale=0.3):
+        return torch.tensor(rng.normal(size=s).astype(np.float32) * scale)
+
+    sd = {
+        "emb.weight": t(V, C),
+        "blocks.0.ln0.weight": 1 + t(C, scale=0.05),
+        "blocks.0.ln0.bias": t(C, scale=0.05),
+        "ln_out.weight": 1 + t(C, scale=0.05),
+        "ln_out.bias": t(C, scale=0.05),
+        "head.weight": t(V, C),
+    }
+    for i in range(L):
+        p = f"blocks.{i}."
+        sd.update({
+            p + "ln1.weight": 1 + t(C, scale=0.05),
+            p + "ln1.bias": t(C, scale=0.05),
+            p + "ln2.weight": 1 + t(C, scale=0.05),
+            p + "ln2.bias": t(C, scale=0.05),
+            **{p + f"att.x_{s}": t(1, 1, C) for s in "rwkvag"},
+            p + "att.w0": t(1, 1, C),
+            p + "att.w1": t(C, D),
+            p + "att.w2": t(D, C),
+            p + "att.a0": t(1, 1, C),
+            p + "att.a1": t(C, D),
+            p + "att.a2": t(D, C),
+            p + "att.g1": t(C, D),
+            p + "att.g2": t(D, C),
+            p + "att.k_k": t(1, 1, C),
+            p + "att.k_a": t(1, 1, C),
+            p + "att.r_k": t(C // HS, HS),
+            p + "att.key.weight": t(C, C),
+            p + "att.value.weight": t(C, C),
+            p + "att.receptance.weight": t(C, C),
+            p + "att.output.weight": t(C, C),
+            p + "att.ln_x.weight": 1 + t(C, scale=0.05),
+            p + "att.ln_x.bias": t(C, scale=0.05),
+            p + "ffn.x_k": t(1, 1, C),
+            p + "ffn.key.weight": t(HID, C),
+            p + "ffn.value.weight": t(C, HID),
+        })
+        if i > 0:
+            sd.update({
+                p + "att.v0": t(1, 1, C),
+                p + "att.v1": t(C, D),
+                p + "att.v2": t(D, C),
+            })
+
+    pth = tmp_path / "model.pth"
+    torch.save(sd, pth)
+    out = tmp_path / "model.gguf"
+    convert.main([str(pth), "--output", str(out), "--outtype", "f16"])
+
+    import jax.numpy as jnp
+
+    info, params = load_model(GgufFile(str(out)))
+    assert info.version == ModelVersion.V7
+    assert info.num_head == C // HS
+    x, _ = forward_chunk(
+        info, params, init_state(info, 1),
+        jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),
+    )
+    assert bool(jnp.isfinite(x).all())

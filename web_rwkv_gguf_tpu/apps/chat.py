@@ -1,0 +1,95 @@
+"""Interactive chat with per-session state checkpointing
+(ref: examples/chat.rs — including its "+" retry via saved state and "-"
+reset commands, chat.rs:350-381)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import common
+
+SYSTEM_PROMPT = (
+    "The following is a coherent, verbose conversation between a girl named "
+    "{bot} and her friend {user}.\n\n"
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(p)
+    common.add_sampler_args(p)
+    p.add_argument("--user", default="Bob")
+    p.add_argument("--bot", default="Alice")
+    p.add_argument("--max-tokens", type=int, default=256)
+    args = p.parse_args(argv)
+
+    from ..runtime import Engine, RnnInput, RnnInputBatch, RnnOption, softmax
+
+    tokenizer = common.load_tokenizer(args.vocab)
+    info, params = common.load_any_model(args)
+    sampler = common.make_sampler(args)
+    engine = Engine(info, params, num_batch=1, token_chunk_size=args.token_chunk_size)
+
+    inp = RnnInput([RnnInputBatch([], RnnOption.LAST)], args.token_chunk_size)
+
+    def feed(text: str):
+        inp.batches[0].append(tokenizer.encode(text))
+        logits = None
+        while inp.num_token > 0:
+            out = engine.infer(inp)
+            if len(out[0]):
+                logits = out[0][-1]
+        return logits
+
+    def generate(logits):
+        reply = ""
+        for _ in range(args.max_tokens):
+            probs = softmax(logits[None, :])[0]
+            token = sampler.sample(probs)
+            piece = tokenizer.decode([token]).decode("utf-8", errors="replace")
+            reply += piece
+            print(piece, end="", flush=True)
+            if f"\n\n" in reply or f"{args.user}:" in reply:
+                break
+            inp.batches[0].push(int(token))
+            out = engine.infer(inp)
+            logits = out[0][-1]
+        print()
+        return reply
+
+    feed(SYSTEM_PROMPT.format(user=args.user, bot=args.bot))
+    initial_state = engine.back_state(0)
+    retry_state = None
+    retry_logits = None
+
+    print("commands: '+' retry last reply, '-' reset conversation, ctrl-d quit")
+    while True:
+        try:
+            line = input(f"{args.user}: ")
+        except EOFError:
+            return
+        if line.strip() == "-":
+            engine.load_state(0, initial_state)
+            inp.batches[0].replace([])
+            retry_state = retry_logits = None
+            print("[conversation reset]")
+            continue
+        if line.strip() == "+":
+            if retry_state is None:
+                print("[nothing to retry]")
+                continue
+            # rewind to just after the user's last line was fed
+            engine.load_state(0, retry_state)
+            inp.batches[0].replace([])
+            logits = retry_logits
+        else:
+            logits = feed(f"{args.user}: {line}\n\n{args.bot}:")
+            retry_state = engine.back_state(0)
+            retry_logits = logits
+        print(f"{args.bot}:", end="", flush=True)
+        generate(logits)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,31 +24,48 @@ _MANIFEST = "__manifest__.json"
 
 def _flatten(tree, prefix, arrays, manifest):
     if isinstance(tree, Matrix):
-        manifest[prefix] = {"type": "matrix", "kind": tree.kind, "shape": list(tree.shape)}
+        entry = {"type": "matrix", "kind": tree.kind, "shape": list(tree.shape)}
+        manifest[prefix] = entry
         for k, v in tree.arrays.items():
-            arrays[f"{prefix}/{k}"] = np.asarray(v)
+            arr = np.asarray(v)
+            if arr.dtype.name == "bfloat16":
+                entry.setdefault("bf16", []).append(k)
+                arr = arr.view(np.uint16)
+            arrays[f"{prefix}/{k}"] = arr
     elif isinstance(tree, dict):
         manifest[prefix] = {"type": "dict", "keys": sorted(tree.keys())}
         for k in sorted(tree.keys()):
             _flatten(tree[k], f"{prefix}/{k}", arrays, manifest)
     else:
         arr = np.asarray(tree)
-        manifest[prefix] = {"type": "array", "dtype": str(arr.dtype)}
+        entry = {"type": "array", "dtype": str(arr.dtype)}
+        if arr.dtype.name == "bfloat16":
+            entry["bf16"] = True
+            arr = arr.view(np.uint16)
+        manifest[prefix] = entry
         arrays[prefix] = arr
 
 
 def _unflatten(prefix, arrays, manifest, jnp):
+    import ml_dtypes
+
     entry = manifest[prefix]
     if entry["type"] == "matrix":
         mat_arrays = {}
+        bf16 = set(entry.get("bf16", []))
         pfx = prefix + "/"
         for k in arrays.files:
             if k.startswith(pfx) and "/" not in k[len(pfx):]:
-                mat_arrays[k[len(pfx):]] = jnp.asarray(arrays[k])
+                a = arrays[k]
+                if k[len(pfx):] in bf16:
+                    a = a.view(ml_dtypes.bfloat16)
+                mat_arrays[k[len(pfx):]] = jnp.asarray(a)
         return Matrix(entry["kind"], tuple(entry["shape"]), mat_arrays)
     if entry["type"] == "dict":
         return {k: _unflatten(f"{prefix}/{k}", arrays, manifest, jnp) for k in entry["keys"]}
     a = arrays[prefix]
+    if entry.get("bf16"):
+        a = a.view(ml_dtypes.bfloat16)
     return jnp.asarray(a)
 
 

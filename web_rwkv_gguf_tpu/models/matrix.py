@@ -56,6 +56,11 @@ class Matrix:
         m, k = w.shape
         if scheme == qf.QuantScheme.NONE:
             return cls.dense(jnp.asarray(np.asarray(w), dtype))
+        block = qf.INT8_BLOCK_SIZE if scheme == qf.QuantScheme.INT8 else qf.NF4_BLOCK_SIZE
+        if k % block:
+            # row-aligned block layout needs K divisible by the block size;
+            # tiny matrices stay dense
+            return cls.dense(jnp.asarray(np.asarray(w), dtype))
         if scheme == qf.QuantScheme.INT8:
             codes, mn, mx = qf.quantize_int8(np.asarray(w, np.float32))
             g = qf.INT8_BLOCK_SIZE
