@@ -53,6 +53,53 @@ def init_state(info: ModelInfo, batch: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# hooks
+# ---------------------------------------------------------------------------
+
+
+class _NoHook:
+    """Zero-overhead default: hook calls vanish at trace time."""
+
+    __slots__ = ()
+
+    def __call__(self, name, **tensors):
+        return tensors
+
+
+_NOHOOK = _NoHook()
+
+
+class HookCtx:
+    """Per-layer hook dispatcher (the reference's Hook system,
+    ref: src/runtime/v7.rs Hook enum + hook_op).
+
+    ``hooks`` maps hook names to ``fn(layer_idx, **tensors) -> dict |
+    None``; returned entries replace the named tensors, so hooks can both
+    observe and modify intermediates. Hook names follow the reference:
+    ``pre_att``, ``post_att_layer_norm``, ``post_att_token_shift``,
+    ``post_att_linear``, ``post_att_adapt``, ``post_att_control``,
+    ``post_att_value_residual``, ``post_att_time_mix``, ``post_att_gate``,
+    ``post_att``, ``pre_ffn``, ``post_ffn_layer_norm``,
+    ``post_ffn_activate``, ``post_ffn``, plus ``post_embed`` /
+    ``pre_head`` at the model level. Using hooks switches the layer stack
+    from ``lax.scan`` to an unrolled trace (taps are resolved at trace
+    time, like the reference builds them into the op graph).
+    """
+
+    def __init__(self, hooks: dict, layer: int):
+        self.hooks = hooks
+        self.layer = layer
+
+    def __call__(self, name, **tensors):
+        fn = self.hooks.get(name)
+        if fn is not None:
+            out = fn(self.layer, **tensors)
+            if out:
+                tensors.update(out)
+        return tensors
+
+
+# ---------------------------------------------------------------------------
 # shared pieces
 # ---------------------------------------------------------------------------
 
@@ -97,9 +144,11 @@ def _flat(x):
 # ---------------------------------------------------------------------------
 
 
-def _layer_v4(info, blk, lst, x, mask, lengths):
+def _layer_v4(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     att, ffn = blk["att"], blk["ffn"]
+    x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xx = hk("post_att_layer_norm", x=xx)["x"]
     kx = B.token_shift(xx, lst["att_shift"], att["mix_k"], reversed_mix=False)
     vx = B.token_shift(xx, lst["att_shift"], att["mix_v"], reversed_mix=False)
     rx = B.token_shift(xx, lst["att_shift"], att["mix_r"], reversed_mix=False)
@@ -108,7 +157,9 @@ def _layer_v4(info, blk, lst, x, mask, lengths):
     r = att["Wr"].matmul(rx)
     state4 = jnp.stack([lst["aa"], lst["bb"], lst["pp"]], axis=-1)
     y, state4 = W.wkv4(state4, k, v, r, att["time_first"], att["time_decay"], mask)
+    y = hk("post_att_time_mix", x=y)["x"]
     x = x + att["Wo"].matmul(y)
+    x = hk("post_att", x=x)["x"]
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
@@ -124,10 +175,12 @@ def _layer_v4(info, blk, lst, x, mask, lengths):
     return x, new
 
 
-def _layer_v5(info, blk, lst, x, mask, lengths):
+def _layer_v5(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
+    x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xx = hk("post_att_layer_norm", x=xx)["x"]
     sh = lst["att_shift"]
     kx = B.token_shift(xx, sh, att["mix_k"], reversed_mix=False)
     vx = B.token_shift(xx, sh, att["mix_v"], reversed_mix=False)
@@ -139,8 +192,10 @@ def _layer_v5(info, blk, lst, x, mask, lengths):
     g = att["Wg"].matmul(gx)
     y, wkv = W.wkv5(lst["wkv"], r, k, v, att["time_first"], att["time_decay"], mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = hk("post_att_time_mix", x=y)["x"]
     y = y * jax.nn.silu(g)
     x = x + att["Wo"].matmul(y)
+    x = hk("post_att", x=x)["x"]
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
@@ -154,10 +209,12 @@ def _layer_v5(info, blk, lst, x, mask, lengths):
     return x, new
 
 
-def _layer_v6(info, blk, lst, x, mask, lengths):
+def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
+    x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xx = hk("post_att_layer_norm", x=xx)["x"]
     sh = lst["att_shift"]
 
     # data-dependent 5-way lerp (ddlerp), ref: v6.rs:769-803
@@ -196,8 +253,10 @@ def _layer_v6(info, blk, lst, x, mask, lengths):
 
     y, wkv = W.wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = hk("post_att_time_mix", x=y)["x"]
     y = y * jax.nn.silu(g)
     x = x + att["Wo"].matmul(y)
+    x = hk("post_att", x=x)["x"]
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_k"], reversed_mix=True)
@@ -215,10 +274,12 @@ def _layer_v6(info, blk, lst, x, mask, lengths):
     return x, new
 
 
-def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
+def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
+    x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xx = hk("post_att_layer_norm", x=xx)["x"]
     sh = lst["att_shift"]
 
     rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
@@ -227,10 +288,14 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
     vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
     ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
     gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
+    t = hk("post_att_token_shift", rx=rx, wx=wx, kx=kx, vx=vx, ax=ax, gx=gx)
+    rx, wx, kx, vx, ax, gx = t["rx"], t["wx"], t["kx"], t["vx"], t["ax"], t["gx"]
 
     r = att["Wr"].matmul(rx)
     k = att["Wk"].matmul(kx)
     v = att["Wv"].matmul(vx)
+    t = hk("post_att_linear", r=r, k=k, v=v)
+    r, k, v = t["r"], t["k"], t["v"]
 
     def lora(x_in, w_a, w_b, mid_act=None):
         z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
@@ -241,9 +306,13 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
     w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
     a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
     g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+    t = hk("post_att_adapt", w=w_in, a=a, g=g)
+    w_in, a, g = t["w"], t["a"], t["g"]
 
     kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
     k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])  # ref: control_k_v7.wgsl:73
+    t = hk("post_att_control", k=k, kk=kk)
+    k, kk = t["k"], t["kk"]
 
     # value residual from layer 0 (ref: v7.rs:895-921)
     v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))
@@ -251,6 +320,7 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
     is_first = layer_idx == 0
     v = jnp.where(is_first, v, v_res)
     v0 = jnp.where(is_first, v, v0)
+    v = hk("post_att_value_residual", v=v)["v"]
 
     w_dec = W.wkv7_act_w(w_in)
     rh, wh, kh, vh = (_heads(t, H) for t in (r, w_dec, k, v))
@@ -267,14 +337,21 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths):
         y, wkv = W.wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
+    y = hk("post_att_time_mix", x=y)["x"]
     y = y * g
+    y = hk("post_att_gate", x=y)["x"]
     x = x + att["Wo"].matmul(y)
+    x = hk("post_att", x=x)["x"]
 
+    x = hk("pre_ffn", x=x)["x"]
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["x_k"], reversed_mix=True)
     kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    kf = hk("post_ffn_activate", k=kf)["k"]
     vf = ffn["Wv"].matmul(kf)
     x = x + vf  # channel_mix_v7: out = v (ref: channel_mix.wgsl:101-102)
+    x = hk("post_ffn", x=x)["x"]
 
     new = {
         "att_shift": B.update_shift_state(xx, lengths, sh),
@@ -297,6 +374,8 @@ def forward_chunk(
     lengths: jax.Array,  # [B] int32 valid token counts
     *,
     rescale: int | None = None,
+    hooks: dict | None = None,
+    input_embeds: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     """Run one chunk through all layers.
 
@@ -304,10 +383,26 @@ def forward_chunk(
     ``[B, T, C]`` in f32 (apply :func:`logits_head` to selected rows to
     get logits). ``rescale`` halves the residual every N layers for
     parity with reference rescaled loads (ref: v7.rs:1002-1004).
+
+    ``hooks`` (see :class:`HookCtx`) switches to an unrolled layer loop
+    with observation/modification taps. ``input_embeds`` [B, T, C]
+    replaces the token-id embedding lookup (the reference's
+    ``Token::Embed`` / vision path, ref: src/runtime/infer/mod.rs:21-56);
+    ln0 is still applied.
     """
-    T = tokens.shape[1]
-    mask = jnp.arange(T)[None, :] < lengths[:, None]
-    x = embed_tokens(params, tokens)
+    if input_embeds is not None:
+        T = input_embeds.shape[1]
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        from ..ops import basic as _B
+
+        x = _B.layer_norm(
+            input_embeds.astype(jnp.float32), params["ln0"]["w"],
+            params["ln0"]["b"], LN_EPS,
+        )
+    else:
+        T = tokens.shape[1]
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        x = embed_tokens(params, tokens)
     x = jnp.where(mask[..., None], x, 0.0)
 
     version = info.version
@@ -315,6 +410,32 @@ def forward_chunk(
     blocks = params["blocks"]
     layer_ids = jnp.arange(L)
     do_rescale = rescale is not None and rescale < L
+
+    if hooks is not None:
+        x = HookCtx(hooks, -1)("post_embed", x=x)["x"]
+        new_states = []
+        v0 = jnp.zeros_like(x)
+        for i in range(L):
+            blk = jax.tree.map(lambda a: a[i], blocks)
+            lst = jax.tree.map(lambda a: a[i], state)
+            hk = HookCtx(hooks, i)
+            if version == ModelVersion.V7:
+                x, v0, new = _layer_v7(
+                    info, blk, lst, x, v0, jnp.asarray(i), mask, lengths, hk
+                )
+            else:
+                layer_fn = {
+                    ModelVersion.V4: _layer_v4,
+                    ModelVersion.V5: _layer_v5,
+                    ModelVersion.V6: _layer_v6,
+                }[version]
+                x, new = layer_fn(info, blk, lst, x, mask, lengths, hk)
+            if do_rescale and (i + 1) % rescale == 0:
+                x = x * 0.5
+            new_states.append(new)
+        new_state = jax.tree.map(lambda *xs: jnp.stack(xs), *new_states)
+        x = HookCtx(hooks, -1)("pre_head", x=x)["x"]
+        return x, new_state
 
     if version == ModelVersion.V7:
 

@@ -18,3 +18,4 @@ from .scheduler import (  # noqa: F401
     redirect,
 )
 from .engine import Engine, softmax  # noqa: F401
+from .vision import VisionInput, infer_vision  # noqa: F401
