@@ -1,0 +1,72 @@
+"""Native C++ dequant/repack parity vs the numpy reference implementations."""
+
+import numpy as np
+import pytest
+
+from web_rwkv_gguf_tpu import native
+from web_rwkv_gguf_tpu.quant import ggml
+
+
+requires_native = pytest.mark.skipif(
+    native.get_lib() is None, reason="native library unavailable"
+)
+
+
+def _random_blocks(block_bytes, n_blocks=64, seed=0):
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, size=n_blocks * block_bytes, dtype=np.uint8)
+    b = bytearray(raw.tobytes())
+    # sane f16 scale fields
+    for blk in range(n_blocks):
+        base = blk * block_bytes
+        for off in (0, 2, 208, 80, 82):
+            if off + 2 <= block_bytes:
+                b[base + off : base + off + 2] = np.float16(
+                    rng.uniform(0.001, 0.1)
+                ).tobytes()
+    return bytes(b)
+
+
+@requires_native
+@pytest.mark.parametrize(
+    "kind,block_bytes,numpy_fn",
+    [
+        ("q8_0", 34, ggml.dequantize_q8_0),
+        ("q4_0", 18, ggml.dequantize_q4_0),
+        ("q4_k", 144, ggml.dequantize_q4_k),
+        ("q5_k", 176, ggml.dequantize_q5_k),
+        ("q6_k", 210, ggml.dequantize_q6_k),
+    ],
+)
+def test_native_dequant_matches_numpy(kind, block_bytes, numpy_fn):
+    elems = {"q8_0": 32, "q4_0": 32}.get(kind, 256)
+    data = _random_blocks(block_bytes)
+    n = (len(data) // block_bytes) * elems
+    got = native.dequantize(kind, data, n)
+    want = numpy_fn(data, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@requires_native
+def test_native_repack_q4k_matches_numpy():
+    import os
+
+    M, K = 16, 512
+    rng = np.random.default_rng(1)
+    w = (rng.normal(size=(M, K)) * 0.1).astype(np.float32)
+    raw = np.frombuffer(ggml.quantize_q4_k(w.reshape(-1)), np.uint8)
+
+    got = native.repack_q4_k(raw, M, K)
+    assert got is not None
+    # numpy path (force fallback)
+    os.environ["RWKV_TPU_NO_NATIVE"] = "1"
+    try:
+        native._tried, native._lib = True, None
+        from web_rwkv_gguf_tpu.quant import repack
+
+        want = repack.repack_q4_k(raw, M, K)
+    finally:
+        del os.environ["RWKV_TPU_NO_NATIVE"]
+        native._tried = False
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(g, w_)

@@ -1,0 +1,239 @@
+// Native GGML block dequantizers / repackers.
+//
+// The hot path when loading multi-GB GGUF files: parallel (std::thread)
+// block decoding to f32, and the TPU repack layouts (split-halves Q4_K
+// nibbles, de-interleaved effective scales) described in
+// quant/repack.py. Semantics are bit-identical to the numpy reference
+// implementations in quant/ggml.py (ref: src/runtime/gguf.rs:9-423).
+//
+// Exposed as a plain C ABI for ctypes; built by native/__init__.py with
+// `g++ -O3 -shared -fPIC`.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// minimal IEEE half -> float (round-trip exact)
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {  // subnormal
+      int e = -1;
+      do {
+        e++;
+        mant <<= 1;
+      } while ((mant & 0x400) == 0);
+      mant &= 0x3FF;
+      bits = sign | ((uint32_t)(127 - 15 - e) << 23) | (mant << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (mant << 13);
+  } else {
+    bits = sign | ((exp + 112) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+inline float f16at(const uint8_t* p) {
+  uint16_t h;
+  std::memcpy(&h, p, 2);
+  return half_to_float(h);
+}
+
+void get_scale_min_k4(int j, const uint8_t* s, uint8_t* d, uint8_t* m) {
+  if (j < 4) {
+    *d = s[j] & 63;
+    *m = s[j + 4] & 63;
+  } else {
+    *d = (s[j + 4] & 0xF) | ((s[j - 4] >> 6) << 4);
+    *m = (s[j + 4] >> 4) | ((s[j] >> 6) << 4);
+  }
+}
+
+template <typename F>
+void parallel_blocks(int64_t n_blocks, F&& fn) {
+  unsigned n_thr = std::thread::hardware_concurrency();
+  if (n_thr == 0) n_thr = 2;
+  if (n_blocks < 1024 || n_thr <= 1) {
+    fn((int64_t)0, n_blocks);
+    return;
+  }
+  std::vector<std::thread> thr;
+  int64_t per = (n_blocks + n_thr - 1) / n_thr;
+  for (unsigned t = 0; t < n_thr; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_blocks, lo + per);
+    if (lo >= hi) break;
+    thr.emplace_back([lo, hi, &fn] { fn(lo, hi); });
+  }
+  for (auto& t : thr) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Q8_0: 34B/32el = [d f16][qs i8*32]
+void dequant_q8_0(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; b++) {
+      const uint8_t* blk = data + b * 34;
+      float d = f16at(blk);
+      float* o = out + b * 32;
+      for (int i = 0; i < 32; i++) o[i] = d * (float)(int8_t)blk[2 + i];
+    }
+  });
+}
+
+// Q4_0: 18B/32el, v = d * (nib - 8), lo nibble then hi per byte
+void dequant_q4_0(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 18;
+      float d = f16at(blk);
+      float* o = out + b * 32;
+      for (int i = 0; i < 16; i++) {
+        o[2 * i] = d * (float)((int)(blk[2 + i] & 0xF) - 8);
+        o[2 * i + 1] = d * (float)((int)(blk[2 + i] >> 4) - 8);
+      }
+    }
+  });
+}
+
+// Q4_K: 144B/256el
+void dequant_q4_k(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 144;
+      float d = f16at(blk), dmin = f16at(blk + 2);
+      const uint8_t* sc = blk + 4;
+      const uint8_t* qs = blk + 16;
+      float* o = out + b * 256;
+      int is = 0;
+      for (int j = 0; j < 256; j += 64) {
+        uint8_t s0, m0, s1, m1;
+        get_scale_min_k4(is, sc, &s0, &m0);
+        get_scale_min_k4(is + 1, sc, &s1, &m1);
+        float d1 = d * s0, mv1 = dmin * m0, d2 = d * s1, mv2 = dmin * m1;
+        const uint8_t* q = qs + j / 2;
+        for (int l = 0; l < 32; l++) *o++ = d1 * (float)(q[l] & 0xF) - mv1;
+        for (int l = 0; l < 32; l++) *o++ = d2 * (float)(q[l] >> 4) - mv2;
+        is += 2;
+      }
+    }
+  });
+}
+
+// Q5_K: 176B/256el
+void dequant_q5_k(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 176;
+      float d = f16at(blk), dmin = f16at(blk + 2);
+      const uint8_t* sc = blk + 4;
+      const uint8_t* qh = blk + 16;
+      const uint8_t* ql = blk + 48;
+      float* o = out + b * 256;
+      int is = 0;
+      uint8_t u1 = 1, u2 = 2;
+      for (int j = 0; j < 256; j += 64) {
+        uint8_t s0, m0, s1, m1;
+        get_scale_min_k4(is, sc, &s0, &m0);
+        get_scale_min_k4(is + 1, sc, &s1, &m1);
+        float d1 = d * s0, mv1 = dmin * m0, d2 = d * s1, mv2 = dmin * m1;
+        const uint8_t* q = ql + j / 2;
+        for (int l = 0; l < 32; l++)
+          *o++ = d1 * (float)((q[l] & 0xF) + ((qh[l] & u1) ? 16 : 0)) - mv1;
+        for (int l = 0; l < 32; l++)
+          *o++ = d2 * (float)((q[l] >> 4) + ((qh[l] & u2) ? 16 : 0)) - mv2;
+        is += 2;
+        u1 <<= 2;
+        u2 <<= 2;
+      }
+    }
+  });
+}
+
+// Q6_K: 210B/256el
+void dequant_q6_k(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 210;
+      const uint8_t* ql = blk;
+      const uint8_t* qh = blk + 128;
+      const int8_t* sc = (const int8_t*)(blk + 192);
+      float d = f16at(blk + 208);
+      float* o = out + b * 256;
+      for (int half = 0; half < 2; half++) {
+        const uint8_t* l_ = ql + 64 * half;
+        const uint8_t* h_ = qh + 32 * half;
+        const int8_t* s_ = sc + 8 * half;
+        for (int l = 0; l < 32; l++) {
+          int is = l / 16;
+          int q1 = (int)((l_[l] & 0xF) | (((h_[l] >> 0) & 3) << 4)) - 32;
+          o[l] = d * s_[is] * q1;
+          int q2 = (int)((l_[l + 32] & 0xF) | (((h_[l] >> 2) & 3) << 4)) - 32;
+          o[l + 32] = d * s_[is + 2] * q2;
+          int q3 = (int)((l_[l] >> 4) | (((h_[l] >> 4) & 3) << 4)) - 32;
+          o[l + 64] = d * s_[is + 4] * q3;
+          int q4 = (int)((l_[l + 32] >> 4) | (((h_[l] >> 6) & 3) << 4)) - 32;
+          o[l + 96] = d * s_[is + 6] * q4;
+        }
+        o += 128;
+      }
+    }
+  });
+}
+
+// Q4_K repack: split-halves nibble codes + effective f32 scales/mins.
+// rows_cols: per-row blocks n_sb = K/256; codes out [M, K/2] u8,
+// scales/mins out [M, K/32] f32 (row-major).
+void repack_q4_k(const uint8_t* data, int64_t n_blocks, int64_t k,
+                 uint8_t* codes, float* scales, float* mins) {
+  int64_t half = k / 2;
+  int64_t sb_per_row = k / 256;
+  int64_t n_rows = n_blocks / sb_per_row;
+  // parallelize over rows: byte j of a row mixes nibbles from two
+  // different super-blocks, so a row must be written by one thread
+  parallel_blocks(n_rows, [&](int64_t row_lo, int64_t row_hi) {
+    std::vector<uint8_t> el(k);
+    for (int64_t row = row_lo; row < row_hi; row++) {
+      for (int64_t sb = 0; sb < sb_per_row; sb++) {
+        const uint8_t* blk = data + (row * sb_per_row + sb) * 144;
+        float d = f16at(blk), dmin = f16at(blk + 2);
+        const uint8_t* sc = blk + 4;
+        const uint8_t* qs = blk + 16;
+
+        float* srow = scales + row * (k / 32) + sb * 8;
+        float* mrow = mins + row * (k / 32) + sb * 8;
+        for (int j = 0; j < 8; j++) {
+          uint8_t s_, m_;
+          get_scale_min_k4(j, sc, &s_, &m_);
+          srow[j] = d * s_;
+          mrow[j] = dmin * m_;
+        }
+
+        uint8_t* e = el.data() + sb * 256;  // element order within the row
+        for (int j = 0; j < 256; j += 64) {
+          const uint8_t* q = qs + j / 2;
+          for (int l = 0; l < 32; l++) *e++ = q[l] & 0xF;
+          for (int l = 0; l < 32; l++) *e++ = q[l] >> 4;
+        }
+      }
+      uint8_t* crow = codes + row * half;
+      for (int64_t j = 0; j < half; j++)
+        crow[j] = (uint8_t)(el[j] | (el[j + half] << 4));
+    }
+  });
+}
+
+}  // extern "C"

@@ -296,8 +296,28 @@ _DEQUANTIZERS = {
 }
 
 
+_NATIVE_KINDS = {
+    GgmlDType.Q8_0: "q8_0",
+    GgmlDType.Q4_0: "q4_0",
+    GgmlDType.Q4_K: "q4_k",
+    GgmlDType.Q5_K: "q5_k",
+    GgmlDType.Q6_K: "q6_k",
+}
+
+
 def dequantize(dtype: GgmlDType, data, num_elements: int) -> np.ndarray:
-    """Dequantize raw block bytes of the given ggml type to float32."""
+    """Dequantize raw block bytes of the given ggml type to float32.
+
+    Uses the threaded C++ implementation (native/) when available; the
+    numpy implementations above are the ground truth and fallback.
+    """
+    kind = _NATIVE_KINDS.get(dtype)
+    if kind is not None:
+        from .. import native
+
+        out = native.dequantize(kind, data, num_elements)
+        if out is not None:
+            return out
     try:
         fn = _DEQUANTIZERS[dtype]
     except KeyError:

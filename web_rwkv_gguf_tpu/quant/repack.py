@@ -29,6 +29,12 @@ def repack_q4_k(raw, m: int, k: int):
     (contraction over K is order-invariant, and the per-32-group scales
     stay aligned because K/2 is a multiple of 32).
     """
+    from .. import native
+
+    nat = native.repack_q4_k(raw, m, k)
+    if nat is not None:
+        return nat
+
     b = _blocks(raw, 144)
     n = b.shape[0]
     assert n * 256 == m * k, (n, m, k)
