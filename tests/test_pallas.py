@@ -97,3 +97,47 @@ def test_q4k_repack_dequant_matches_block_dequant():
     mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (M, K))
     got = np.asarray(mat.dequantize(jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_wkv6_pallas_matches_xla():
+    from web_rwkv_gguf_tpu.ops.pallas.wkv456 import wkv5_pallas, wkv6_pallas
+
+    rng = np.random.default_rng(5)
+    B, T, H, K = 2, 6, 2, 8
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    state = f(B, H, K, K)
+    r, k, v = f(B, T, H, K), f(B, T, H, K), f(B, T, H, K)
+    u = f(H, K)
+    w6 = jnp.asarray(np.exp(-np.exp(rng.normal(size=(B, T, H, K)))).astype(np.float32))
+    mask = jnp.asarray(np.array([[1] * 6, [1, 1, 1, 1, 0, 0]], bool))
+
+    y1, s1 = W.wkv6(state, r, k, v, u, w6, mask)
+    y2, s2 = wkv6_pallas(state, r, k, v, u, w6, mask)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
+
+    w5 = jnp.asarray(np.exp(-np.exp(rng.normal(size=(H, K)))).astype(np.float32))
+    y1, s1 = W.wkv5(state, r, k, v, u, w5, mask)
+    y2, s2 = wkv5_pallas(state, r, k, v, u, w5, mask)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
+
+
+def test_wkv4_pallas_matches_xla():
+    from web_rwkv_gguf_tpu.ops.pallas.wkv456 import wkv4_pallas
+
+    rng = np.random.default_rng(6)
+    B, T, C = 2, 6, 16
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    k, v, r = f(B, T, C), f(B, T, C), f(B, T, C)
+    u = f(C)
+    w = jnp.asarray(-np.exp(rng.normal(size=C)).astype(np.float32))
+    state = jnp.stack(
+        [jnp.zeros((B, C)), jnp.zeros((B, C)),
+         jnp.full((B, C), W.F32_MIN)], axis=-1,
+    )
+    mask = jnp.asarray(np.array([[1] * 6, [1, 1, 1, 0, 0, 0]], bool))
+    y1, s1 = W.wkv4(state, k, v, r, u, w, mask)
+    y2, s2 = wkv4_pallas(state, k, v, r, u, w, mask)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)

@@ -100,6 +100,41 @@ class HookCtx:
 
 
 # ---------------------------------------------------------------------------
+# kernel selection (Pallas on TPU, XLA reference elsewhere)
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas() -> bool:
+    from ..ops.pallas import config as _pcfg
+
+    return _pcfg.use_pallas() and not _pcfg.interpret
+
+
+def _wkv4(state, k, v, r, u, w, mask):
+    if _use_pallas():
+        from ..ops.pallas.wkv456 import wkv4_pallas
+
+        return wkv4_pallas(state, k, v, r, u, w, mask)
+    return W.wkv4(state, k, v, r, u, w, mask)
+
+
+def _wkv5(state, r, k, v, u, w, mask):
+    if _use_pallas():
+        from ..ops.pallas.wkv456 import wkv5_pallas
+
+        return wkv5_pallas(state, r, k, v, u, w, mask)
+    return W.wkv5(state, r, k, v, u, w, mask)
+
+
+def _wkv6(state, r, k, v, u, w, mask):
+    if _use_pallas():
+        from ..ops.pallas.wkv456 import wkv6_pallas
+
+        return wkv6_pallas(state, r, k, v, u, w, mask)
+    return W.wkv6(state, r, k, v, u, w, mask)
+
+
+# ---------------------------------------------------------------------------
 # shared pieces
 # ---------------------------------------------------------------------------
 
@@ -156,7 +191,7 @@ def _layer_v4(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     v = att["Wv"].matmul(vx)
     r = att["Wr"].matmul(rx)
     state4 = jnp.stack([lst["aa"], lst["bb"], lst["pp"]], axis=-1)
-    y, state4 = W.wkv4(state4, k, v, r, att["time_first"], att["time_decay"], mask)
+    y, state4 = _wkv4(state4, k, v, r, att["time_first"], att["time_decay"], mask)
     y = hk("post_att_time_mix", x=y)["x"]
     x = x + att["Wo"].matmul(y)
     x = hk("post_att", x=x)["x"]
@@ -190,7 +225,7 @@ def _layer_v5(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     v = _heads(att["Wv"].matmul(vx), H)
     r = _heads(att["Wr"].matmul(rx), H)
     g = att["Wg"].matmul(gx)
-    y, wkv = W.wkv5(lst["wkv"], r, k, v, att["time_first"], att["time_decay"], mask)
+    y, wkv = _wkv5(lst["wkv"], r, k, v, att["time_first"], att["time_decay"], mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = hk("post_att_time_mix", x=y)["x"]
     y = y * jax.nn.silu(g)
@@ -251,7 +286,7 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     ) + att["time_decay"][None, None]
     w = _heads(B.stable_exp(w_raw), H)
 
-    y, wkv = W.wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
+    y, wkv = _wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = hk("post_att_time_mix", x=y)["x"]
     y = y * jax.nn.silu(g)
@@ -327,9 +362,7 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     kkh = _heads(kk, H)
     ah = -kkh
     bh = kkh * _heads(a, H)
-    from ..ops.pallas import config as _pcfg
-
-    if _pcfg.use_pallas() and not _pcfg.interpret:
+    if _use_pallas():
         from ..ops.pallas.wkv7 import wkv7_pallas
 
         y, wkv = wkv7_pallas(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
