@@ -26,7 +26,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _bench_decode(info, params, n_steps=256, B=1):
+def _bench_decode(info, params, B=1, steps=64, reps=4, windows=3):
+    """Greedy decode throughput via the fused on-device generation loop
+    (one launch per `steps` tokens; best of `windows` timing windows to
+    ride out link-latency variance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.generate import make_generator
+
+    gen = make_generator(info, steps=steps)
+    state = init_state(info, B)
+    token = jnp.zeros((B, 1), jnp.int32)
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    toks, logits, state, key = gen(params, state, token, key)
+    toks.block_until_ready()
+    log(f"  compile+first segment: {time.perf_counter()-t0:.2f}s")
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            toks, logits, state, key = gen(params, state, toks[:, -1:], key)
+        toks.block_until_ready()
+        best = max(best, reps * steps * B / (time.perf_counter() - t0))
+    return best
+
+
+def _bench_decode_percall(info, params, n_steps=128, B=1):
+    """Per-token dispatch decode (the Engine.infer path): includes one
+    host->device launch per token."""
     import jax
     import jax.numpy as jnp
 
@@ -41,10 +71,8 @@ def _bench_decode(info, params, n_steps=256, B=1):
     step = jax.jit(decode_step, donate_argnums=(1,))
     state = init_state(info, B)
     token = jnp.zeros((B, 1), jnp.int32)
-    t0 = time.perf_counter()
     token, state = step(params, state, token)
     token.block_until_ready()
-    log(f"  compile+first step: {time.perf_counter()-t0:.2f}s")
     for _ in range(8):
         token, state = step(params, state, token)
     token.block_until_ready()
@@ -52,8 +80,7 @@ def _bench_decode(info, params, n_steps=256, B=1):
     for _ in range(n_steps):
         token, state = step(params, state, token)
     token.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n_steps * B / dt
+    return n_steps * B / (time.perf_counter() - t0)
 
 
 def _bench_prefill(info, params, T=256, B=1, runs=5):
@@ -89,16 +116,20 @@ def main():
         f"V={info.num_vocab} hidden={info.num_hidden}")
 
     q4k_decode = _bench_decode(info, params_q)
-    log(f"decode  Q4_K (pallas fused): {q4k_decode:.1f} tok/s")
+    log(f"decode  Q4_K fused-loop batch1: {q4k_decode:.1f} tok/s")
+    q4k_decode8 = _bench_decode(info, params_q, B=8)
+    log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
+    q4k_percall = _bench_decode_percall(info, params_q)
+    log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
     q4k_prefill = _bench_prefill(info, params_q)
-    log(f"prefill Q4_K (pallas fused): {q4k_prefill:.0f} tok/s")
+    log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
     del params_q
 
     info, params_d = synthetic_v7_params()
     bf16_decode = _bench_decode(info, params_d)
-    log(f"decode  bf16 dense:          {bf16_decode:.1f} tok/s")
+    log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
     bf16_prefill = _bench_prefill(info, params_d)
-    log(f"prefill bf16 dense:          {bf16_prefill:.0f} tok/s")
+    log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
 
     print(
         json.dumps(

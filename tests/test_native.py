@@ -48,11 +48,12 @@ def test_native_dequant_matches_numpy(kind, block_bytes, numpy_fn):
 
 
 @requires_native
-def test_native_repack_q4k_matches_numpy():
+@pytest.mark.parametrize("M,K", [(16, 512), (8, 2688), (32, 768)])
+def test_native_repack_q4k_matches_numpy(M, K):
     import os
 
-    M, K = 16, 512
     rng = np.random.default_rng(1)
+    # K=2688 is not a multiple of 256: super-blocks straddle rows
     w = (rng.normal(size=(M, K)) * 0.1).astype(np.float32)
     raw = np.frombuffer(ggml.quantize_q4_k(w.reshape(-1)), np.uint8)
 

@@ -199,39 +199,46 @@ void dequant_q6_k(const uint8_t* data, int64_t n_blocks, float* out) {
 // scales/mins out [M, K/32] f32 (row-major).
 void repack_q4_k(const uint8_t* data, int64_t n_blocks, int64_t k,
                  uint8_t* codes, float* scales, float* mins) {
+  // Super-blocks run over the FLAT element stream and may straddle row
+  // boundaries when k is not a multiple of 256 (e.g. ffn hidden 2688).
+  // Phase 1 decodes blocks into a flat element buffer and writes
+  // scales/mins by flat 32-group index; phase 2 packs split-halves
+  // nibbles per output row.
   int64_t half = k / 2;
-  int64_t sb_per_row = k / 256;
-  int64_t n_rows = n_blocks / sb_per_row;
-  // parallelize over rows: byte j of a row mixes nibbles from two
-  // different super-blocks, so a row must be written by one thread
-  parallel_blocks(n_rows, [&](int64_t row_lo, int64_t row_hi) {
-    std::vector<uint8_t> el(k);
-    for (int64_t row = row_lo; row < row_hi; row++) {
-      for (int64_t sb = 0; sb < sb_per_row; sb++) {
-        const uint8_t* blk = data + (row * sb_per_row + sb) * 144;
-        float d = f16at(blk), dmin = f16at(blk + 2);
-        const uint8_t* sc = blk + 4;
-        const uint8_t* qs = blk + 16;
+  int64_t n_rows = n_blocks * 256 / k;
+  std::vector<uint8_t> el((size_t)n_blocks * 256);
 
-        float* srow = scales + row * (k / 32) + sb * 8;
-        float* mrow = mins + row * (k / 32) + sb * 8;
-        for (int j = 0; j < 8; j++) {
-          uint8_t s_, m_;
-          get_scale_min_k4(j, sc, &s_, &m_);
-          srow[j] = d * s_;
-          mrow[j] = dmin * m_;
-        }
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 144;
+      float d = f16at(blk), dmin = f16at(blk + 2);
+      const uint8_t* sc = blk + 4;
+      const uint8_t* qs = blk + 16;
 
-        uint8_t* e = el.data() + sb * 256;  // element order within the row
-        for (int j = 0; j < 256; j += 64) {
-          const uint8_t* q = qs + j / 2;
-          for (int l = 0; l < 32; l++) *e++ = q[l] & 0xF;
-          for (int l = 0; l < 32; l++) *e++ = q[l] >> 4;
-        }
+      float* sdst = scales + b * 8;  // flat group index = b*8 + j
+      float* mdst = mins + b * 8;
+      for (int j = 0; j < 8; j++) {
+        uint8_t s_, m_;
+        get_scale_min_k4(j, sc, &s_, &m_);
+        sdst[j] = d * s_;
+        mdst[j] = dmin * m_;
       }
+
+      uint8_t* e = el.data() + b * 256;
+      for (int j = 0; j < 256; j += 64) {
+        const uint8_t* q = qs + j / 2;
+        for (int l = 0; l < 32; l++) *e++ = q[l] & 0xF;
+        for (int l = 0; l < 32; l++) *e++ = q[l] >> 4;
+      }
+    }
+  });
+
+  parallel_blocks(n_rows, [&](int64_t row_lo, int64_t row_hi) {
+    for (int64_t row = row_lo; row < row_hi; row++) {
+      const uint8_t* erow = el.data() + row * k;
       uint8_t* crow = codes + row * half;
       for (int64_t j = 0; j < half; j++)
-        crow[j] = (uint8_t)(el[j] | (el[j + half] << 4));
+        crow[j] = (uint8_t)(erow[j] | (erow[j + half] << 4));
     }
   });
 }
