@@ -162,3 +162,14 @@ def test_softmax_helper():
     p = softmax(x)
     np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
     assert p[0, 2] > p[0, 1] > p[0, 0]
+
+
+def test_engine_fused_generate(model):
+    """Engine.generate (fused on-device loop) must match greedy per-token
+    generation."""
+    info, params = model
+    prompt = [3, 1, 4, 1, 5]
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    got = eng.generate([prompt], max_tokens=9, segment=4)[0]
+    want = _direct_generate(info, params, prompt, 9)
+    assert got == want
