@@ -160,8 +160,11 @@ class Matrix:
             return (mn + x * (mx - mn)).astype(dtype)
         if self.kind == "nf4":
             codes = a["codes"]
-            lo = a["lut"][(codes & 0x0F).astype(jnp.int32)]
-            hi = a["lut"][(codes >> 4).astype(jnp.int32)]
+            lut = a["lut"]
+            if lut.ndim > 1:  # layer-stacked matrix: the LUT is identical per layer
+                lut = lut[0]
+            lo = lut[(codes & 0x0F).astype(jnp.int32)]
+            hi = lut[(codes >> 4).astype(jnp.int32)]
             w = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (self.shape[1],))
             g = self.shape[1] // a["absmax"].shape[-1]
             return (w * jnp.repeat(a["absmax"], g, axis=-1)).astype(dtype)
