@@ -173,3 +173,21 @@ def test_engine_fused_generate(model):
     got = eng.generate([prompt], max_tokens=9, segment=4)[0]
     want = _direct_generate(info, params, prompt, 9)
     assert got == want
+
+
+def test_engine_embed_tokens(model):
+    """Token::Embed: raw embedding vectors mix with id tokens and match
+    the pure-id run when the vectors are table rows."""
+    info, params = model
+    emb = np.asarray(params["emb"], np.float32)
+    ids = [4, 9, 2, 7]
+
+    eng1 = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp1 = RnnInput([RnnInputBatch(list(ids))], 32)
+    want = eng1.infer(inp1)[0][-1]
+
+    eng2 = Engine(info, params, num_batch=1, token_chunk_size=32)
+    mixed = [ids[0], emb[ids[1]], ids[2], emb[ids[3]]]
+    inp2 = RnnInput([RnnInputBatch(mixed)], 32)
+    got = eng2.infer(inp2)[0][-1]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

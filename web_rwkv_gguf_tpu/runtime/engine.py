@@ -91,6 +91,13 @@ class Engine:
             functools.partial(forward_chunk, info, rescale=rescale),
             donate_argnums=(1,),
         )
+        self._forward_embeds = jax.jit(
+            lambda params, state, embeds, lengths: forward_chunk(
+                info, params, state, None, lengths,
+                rescale=rescale, input_embeds=embeds,
+            ),
+            donate_argnums=(1,),
+        )
         self._head = jax.jit(logits_head)
 
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
@@ -137,19 +144,36 @@ class Engine:
             return RnnOutput([np.zeros((0, self.info.num_vocab), np.float32)] * self.num_batch)
 
         T = _bucket(max(lens), self.token_chunk_size)
-        tokens = np.zeros((self.num_batch, T), np.int32)
-        for b, (batch, p) in enumerate(zip(input.batches, plan)):
-            chunk = batch.tokens[: p.len]
-            if any(not isinstance(t, (int, np.integer)) for t in chunk):
-                raise NotImplementedError(
-                    "embedding-vector tokens not yet supported in Engine"
-                )
-            tokens[b, : p.len] = chunk
+        has_embeds = any(
+            not isinstance(t, (int, np.integer))
+            for batch, p in zip(input.batches, plan)
+            for t in batch.tokens[: p.len]
+        )
         lengths = jnp.asarray(lens, jnp.int32)
 
-        x, self.state = self._forward(
-            self.params, self.state, jnp.asarray(tokens), lengths
-        )
+        if has_embeds:
+            # Token::Embed path (ref: src/runtime/infer/mod.rs:21-56):
+            # mix raw embedding vectors with table rows host-side
+            if not hasattr(self, "_emb_np"):
+                self._emb_np = np.asarray(self.params["emb"], np.float32)
+            C = self.info.num_emb
+            embeds = np.zeros((self.num_batch, T, C), np.float32)
+            for b, (batch, p) in enumerate(zip(input.batches, plan)):
+                for t, tok in enumerate(batch.tokens[: p.len]):
+                    if isinstance(tok, (int, np.integer)):
+                        embeds[b, t] = self._emb_np[int(tok)]
+                    else:
+                        embeds[b, t] = np.asarray(tok, np.float32)
+            x, self.state = self._forward_embeds(
+                self.params, self.state, jnp.asarray(embeds), lengths
+            )
+        else:
+            tokens = np.zeros((self.num_batch, T), np.int32)
+            for b, (batch, p) in enumerate(zip(input.batches, plan)):
+                tokens[b, : p.len] = batch.tokens[: p.len]
+            x, self.state = self._forward(
+                self.params, self.state, jnp.asarray(tokens), lengths
+            )
 
         # gather logit-producing rows (dense-layout redirect)
         rows_b, rows_t, counts = [], [], []
