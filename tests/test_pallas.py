@@ -141,3 +141,32 @@ def test_wkv4_pallas_matches_xla():
     y2, s2 = wkv4_pallas(state, k, v, r, u, w, mask)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+
+
+def test_wkv7_chunked_matches_xla():
+    """Chunk-parallel (UT-transform) WKV7 must match the sequential scan
+    at all valid positions, across chunk boundaries and with padding."""
+    import functools
+    from web_rwkv_gguf_tpu.ops.wkv_chunked import wkv7_chunked
+
+    rng = np.random.default_rng(9)
+    B, T, H, K = 2, 37, 3, 8
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    state = f(B, H, K, K)
+    r, k, v = f(B, T, H, K), f(B, T, H, K), f(B, T, H, K)
+    w = jnp.asarray(
+        np.exp(-0.606531 / (1 + np.exp(-rng.normal(size=(B, T, H, K))))).astype(np.float32)
+    )
+    kk_ = rng.normal(size=(B, T, H, K)).astype(np.float32)
+    kk_ = kk_ / (np.linalg.norm(kk_, axis=-1, keepdims=True) + 1e-9)
+    a, b = jnp.asarray(-kk_), jnp.asarray(kk_ * 0.7)
+    mask_np = np.ones((B, T), bool)
+    mask_np[1, 30:] = False
+    mask = jnp.asarray(mask_np)
+
+    y1, s1 = W.wkv7(state, r, w, k, v, a, b, mask)
+    for chunk in (8, 16, 64):
+        y2, s2 = wkv7_chunked(state, r, w, k, v, a, b, mask, chunk=chunk)
+        d = np.abs(np.asarray(y1) - np.asarray(y2)) * mask_np[:, :, None, None]
+        assert d.max() < 1e-5, (chunk, d.max())
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)

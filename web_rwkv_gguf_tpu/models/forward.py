@@ -110,6 +110,24 @@ def _use_pallas() -> bool:
     return _pcfg.use_pallas() and not _pcfg.interpret
 
 
+# prefill chunks at/above this length use the chunk-parallel (MXU)
+# formulation; below it the sequential scan wins (decode, short chunks)
+WKV7_CHUNKED_MIN_T = 32
+
+
+def _wkv7(state, r, w, k, v, a, b, mask):
+    T = r.shape[1]
+    if T >= WKV7_CHUNKED_MIN_T:
+        from ..ops.wkv_chunked import wkv7_chunked
+
+        return wkv7_chunked(state, r, w, k, v, a, b, mask)
+    if _use_pallas():
+        from ..ops.pallas.wkv7 import wkv7_pallas
+
+        return wkv7_pallas(state, r, w, k, v, a, b, mask)
+    return W.wkv7(state, r, w, k, v, a, b, mask)
+
+
 def _wkv4(state, k, v, r, u, w, mask):
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv4_pallas
@@ -362,12 +380,7 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     kkh = _heads(kk, H)
     ah = -kkh
     bh = kkh * _heads(a, H)
-    if _use_pallas():
-        from ..ops.pallas.wkv7 import wkv7_pallas
-
-        y, wkv = wkv7_pallas(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
-    else:
-        y, wkv = W.wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
+    y, wkv = _wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
     y = hk("post_att_time_mix", x=y)["x"]
