@@ -111,8 +111,11 @@ def _use_pallas() -> bool:
 
 
 # prefill chunks at/above this length use the chunk-parallel (MXU)
-# formulation; below it the sequential scan wins (decode, short chunks)
-WKV7_CHUNKED_MIN_T = 32
+# formulation; below it the sequential scan wins (measured on v5e-class
+# hw: seq faster up to T=256 even at batch 8, chunked ~7% faster at
+# T=1024 single-stream; devices with higher MXU:VPU ratios favor lower
+# thresholds)
+WKV7_CHUNKED_MIN_T = 512
 
 
 def _wkv7(state, r, w, k, v, a, b, mask):
