@@ -140,3 +140,14 @@ def test_alignment_and_offsets():
     np.testing.assert_array_equal(f.tensor("c", np.float32), c)
     for info in f.tensors.values():
         assert info.offset % 32 == 0
+
+
+def test_bf16_tensor_roundtrip():
+    import ml_dtypes
+
+    w = GgufWriter()
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4).astype(ml_dtypes.bfloat16)
+    w.add_raw_tensor("bf", (4, 3), GgmlDType.BF16, arr.tobytes())
+    f = GgufFile(w.tobytes())
+    got = f.tensor("bf", np.float32)
+    np.testing.assert_array_equal(got, np.arange(12, dtype=np.float32).reshape(3, 4))

@@ -79,3 +79,26 @@ def test_sharded_quantized(model):
     ss = shard_state(init_state(info, B), mesh)
     got, _ = jax.jit(lambda p, s, t, l: _run(info, p, s, t, l))(sp, ss, tokens, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_fused_generation(model):
+    """The fused multi-step generator must run sharded and match the
+    single-device generator (the multi-chip serving path)."""
+    from web_rwkv_gguf_tpu.models.generate import make_generator
+
+    info, params = model
+    B = 2
+    gen = make_generator(info, steps=6)
+    key = jax.random.key(0)
+    tok = jnp.asarray([[3], [9]], jnp.int32)
+    toks_w, logits_w, _, _ = gen(params, init_state(info, B), tok, key)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    sp = shard_params(params, mesh, info)
+    ss = shard_state(init_state(info, B), mesh)
+    toks_s, logits_s, _, _ = gen(sp, ss, tok, key)
+    np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_w))
+    # six chained steps amplify collective reduction-order differences
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(logits_w), rtol=5e-3, atol=5e-3
+    )

@@ -252,6 +252,12 @@ _GGML_TO_NUMPY = {
     GgmlDType.I32: np.int32,
     GgmlDType.I64: np.int64,
 }
+try:  # BF16 tensors appear in llama.cpp-converted files
+    import ml_dtypes
+
+    _GGML_TO_NUMPY[GgmlDType.BF16] = ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    pass
 
 
 class GgufFile:
