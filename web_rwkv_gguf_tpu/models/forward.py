@@ -173,11 +173,10 @@ def logits_head(params: dict, x: jax.Array) -> jax.Array:
 
 
 def _ffn_v4(ffn, x, shift, mask, lengths):
-    """Shared V4/V5/V6 FFN: sq-relu key, sigmoid(r) gate
+    """Shared V4/V5 FFN: sq-relu key, sigmoid(r) gate
     (ref: v4.rs:725-785, channel_mix.wgsl:101-107)."""
-    rev = ffn.get("rev", False)
-    kx = B.token_shift(x, shift, ffn["mix_k"], reversed_mix=rev)
-    rx = B.token_shift(x, shift, ffn["mix_r"], reversed_mix=rev)
+    kx = B.token_shift(x, shift, ffn["mix_k"], reversed_mix=False)
+    rx = B.token_shift(x, shift, ffn["mix_r"], reversed_mix=False)
     k = B.squared_relu(ffn["Wk"].matmul(kx))
     v = ffn["Wv"].matmul(k)
     r = ffn["Wr"].matmul(rx)

@@ -255,7 +255,3 @@ class Matrix:
             y = y + jnp.einsum("...g,mg->...m", xs, offsets)
         return y
 
-    def astype(self, dtype) -> "Matrix":
-        if self.kind == "dense":
-            return Matrix.dense(self.arrays["w"].astype(dtype))
-        return self

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..models.forward import forward_chunk, init_state, logits_head
 from ..models.info import ModelInfo
-from .scheduler import PlanBatch, Redirect, RnnInput, RnnInputBatch, RnnOption, redirect
+from .scheduler import RnnInput, RnnInputBatch, RnnOption
 
 
 def _bucket(n: int, cap: int) -> int:
