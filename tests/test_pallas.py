@@ -170,3 +170,24 @@ def test_wkv7_chunked_matches_xla():
         d = np.abs(np.asarray(y1) - np.asarray(y2)) * mask_np[:, :, None, None]
         assert d.max() < 1e-5, (chunk, d.max())
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
+
+
+def test_wkv6_chunked_matches_xla():
+    from web_rwkv_gguf_tpu.ops.wkv_chunked import wkv6_chunked
+
+    rng = np.random.default_rng(10)
+    B, T, H, K = 2, 21, 3, 8
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    state = f(B, H, K, K)
+    r, k, v = f(B, T, H, K), f(B, T, H, K), f(B, T, H, K)
+    u = f(H, K)
+    w = jnp.asarray(np.exp(-np.exp(rng.normal(size=(B, T, H, K)))).astype(np.float32))
+    mask_np = np.ones((B, T), bool)
+    mask_np[1, 15:] = False
+    mask = jnp.asarray(mask_np)
+    y1, s1 = W.wkv6(state, r, k, v, u, w, mask)
+    for chunk in (8, 32):
+        y2, s2 = wkv6_chunked(state, r, k, v, u, w, mask, chunk=chunk)
+        d = np.abs(np.asarray(y1) - np.asarray(y2)) * mask_np[:, :, None, None]
+        assert d.max() < 1e-4, (chunk, d.max())
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)

@@ -140,6 +140,11 @@ def _wkv4(state, k, v, r, u, w, mask):
 
 
 def _wkv5(state, r, k, v, u, w, mask):
+    if r.shape[1] >= WKV7_CHUNKED_MIN_T:
+        from ..ops.wkv_chunked import wkv6_chunked
+
+        wt = jnp.broadcast_to(w[None, None], r.shape)
+        return wkv6_chunked(state, r, k, v, u, wt, mask)
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv5_pallas
 
@@ -148,6 +153,10 @@ def _wkv5(state, r, k, v, u, w, mask):
 
 
 def _wkv6(state, r, k, v, u, w, mask):
+    if r.shape[1] >= WKV7_CHUNKED_MIN_T:
+        from ..ops.wkv_chunked import wkv6_chunked
+
+        return wkv6_chunked(state, r, k, v, u, w, mask)
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv6_pallas
 

@@ -133,3 +133,72 @@ def wkv7_chunked(
     S_final, Ys = jax.lax.scan(step, S0, (rc, wc, kc, vc, ac, bc))
     y = Ys.transpose(1, 0, 3, 2, 4).reshape(B, Tp, H, V)
     return y[:, :T], S_final
+
+
+def wkv6_chunked(
+    state: jax.Array,  # [B, H, K, V]
+    r: jax.Array,  # [B, T, H, K]
+    k: jax.Array,
+    v: jax.Array,  # [B, T, H, V]
+    u: jax.Array,  # [H, K]
+    w: jax.Array,  # [B, T, H, K] per-token decay factors
+    mask: jax.Array,  # [B, T] bool
+    *,
+    chunk: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunk-parallel V5/V6 WKV (drop-in for ops.wkv.wkv6; V5 = broadcast w).
+
+    The V5/V6 transition is purely diagonal (``S_t = diag(w_t) S_{t-1} +
+    k_t v_tᵀ``, ``y_t = r_tᵀ(diag(u) k_t v_tᵀ + S_{t-1})``), so the
+    decay-absorbed form needs no triangular solve:
+
+        Y = (r∘u∘k summed) v + strict_tril(R̂' K̂ᵀ) V + R̂' Ŝ₀
+        with  r̂'_t = r_t ∘ P_{t-1},  k̂_t = k_t / P_t.
+    """
+    f32 = jnp.float32
+    B, T, H, K = r.shape
+    V = state.shape[-1]
+
+    pad = (-T) % chunk
+    if pad:
+        z = lambda x: jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+        r, w, k, v = map(z, (r, w, k, v))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    Tp = T + pad
+    n_chunks = Tp // chunk
+
+    m = mask[..., None, None].astype(f32)
+    r = r.astype(f32) * m
+    w = jnp.where(m > 0, w.astype(f32), 1.0)
+    k = k.astype(f32) * m
+    v = v.astype(f32) * m
+    u = u.astype(f32)
+
+    def to_chunks(x):
+        return x.reshape(B, n_chunks, chunk, H, -1).transpose(1, 0, 3, 2, 4)
+
+    rc, wc, kc, vc = map(to_chunks, (r, w, k, v))
+    strict = jnp.tril(jnp.ones((chunk, chunk), f32), k=-1)
+
+    def step(S, xs):
+        rr, ww, kk, vv = xs  # [B, H, L, K/V]
+        P = jnp.cumprod(ww, axis=2)
+        P_prev = P / ww
+        r_h = rr * P_prev
+        k_h = kk / P
+
+        bonus = jnp.einsum(
+            "bhlk,hk,bhlk->bhl", rr, u, kk, preferred_element_type=f32
+        )[..., None] * vv
+        rk = jnp.einsum("bhik,bhjk->bhij", r_h, k_h, preferred_element_type=f32) * strict
+        Y = (
+            bonus
+            + jnp.einsum("bhij,bhjd->bhid", rk, vv, preferred_element_type=f32)
+            + jnp.einsum("bhik,bhkd->bhid", r_h, S, preferred_element_type=f32)
+        )
+        S_hat = S + jnp.einsum("bhik,bhid->bhkd", k_h, vv, preferred_element_type=f32)
+        return P[:, :, -1, :, None] * S_hat, Y
+
+    S_final, Ys = jax.lax.scan(step, state.astype(f32), (rc, wc, kc, vc))
+    y = Ys.transpose(1, 0, 3, 2, 4).reshape(B, Tp, H, V)
+    return y[:, :T], S_final
