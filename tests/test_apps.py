@@ -183,3 +183,74 @@ def test_convert_app(tmp_path, capsys):
         jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),
     )
     assert bool(jnp.isfinite(x).all())
+
+
+def test_convert_app_v6(tmp_path):
+    """BlinkDL-style v6 .pth → GGUF → load → forward (ddlerp + decay LoRA
+    transposes per the reference converter)."""
+    import torch
+
+    from web_rwkv_gguf_tpu.apps import convert
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import ModelVersion, forward_chunk, init_state, load_model
+
+    rng = np.random.default_rng(3)
+    C, L, HS, V, HID, RTM, RTD = 16, 2, 4, 48, 64, 4, 8
+    H = C // HS
+
+    def t(*s, scale=0.3):
+        return torch.tensor(rng.normal(size=s).astype(np.float32) * scale)
+
+    sd = {
+        "emb.weight": t(V, C),
+        "blocks.0.ln0.weight": 1 + t(C, scale=0.05),
+        "blocks.0.ln0.bias": t(C, scale=0.05),
+        "ln_out.weight": 1 + t(C, scale=0.05),
+        "ln_out.bias": t(C, scale=0.05),
+        "head.weight": t(V, C),
+    }
+    for i in range(L):
+        p = f"blocks.{i}."
+        sd.update({
+            p + "ln1.weight": 1 + t(C, scale=0.05),
+            p + "ln1.bias": t(C, scale=0.05),
+            p + "ln2.weight": 1 + t(C, scale=0.05),
+            p + "ln2.bias": t(C, scale=0.05),
+            p + "att.time_maa_x": t(1, 1, C),
+            **{p + f"att.time_maa_{s}": t(1, 1, C) for s in "wkvrg"},
+            p + "att.time_maa_w1": t(C, 5 * RTM),     # pth layout [in, out]
+            p + "att.time_maa_w2": t(5, RTM, C),
+            p + "att.time_decay": t(1, 1, C),
+            p + "att.time_decay_w1": t(C, RTD),
+            p + "att.time_decay_w2": t(RTD, C),
+            p + "att.time_faaaa": t(H, HS),
+            p + "att.key.weight": t(C, C),
+            p + "att.value.weight": t(C, C),
+            p + "att.receptance.weight": t(C, C),
+            p + "att.gate.weight": t(C, C),
+            p + "att.output.weight": t(C, C),
+            p + "att.ln_x.weight": 1 + t(C, scale=0.05),
+            p + "att.ln_x.bias": t(C, scale=0.05),
+            p + "ffn.time_maa_k": t(1, 1, C),
+            p + "ffn.time_maa_r": t(1, 1, C),
+            p + "ffn.key.weight": t(HID, C),
+            p + "ffn.value.weight": t(C, HID),
+            p + "ffn.receptance.weight": t(C, C),
+        })
+
+    pth = tmp_path / "v6.pth"
+    torch.save(sd, pth)
+    out = tmp_path / "v6.gguf"
+    convert.main([str(pth), "--output", str(out), "--outtype", "f16"])
+
+    import jax.numpy as jnp
+
+    info, params = load_model(GgufFile(str(out)))
+    assert info.version == ModelVersion.V6
+    assert info.num_head == H
+    assert info.custom.time_mix == RTM and info.custom.time_decay == RTD
+    x, _ = forward_chunk(
+        info, params, init_state(info, 1),
+        jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),
+    )
+    assert bool(jnp.isfinite(x).all())

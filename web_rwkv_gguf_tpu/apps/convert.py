@@ -61,6 +61,7 @@ _GENERIC_TO_GGUF = {
     "att.output.weight": "attn_output.weight",
     "att.time_decay": "attn_time_decay",
     "att.time_first": "attn_time_first",
+    "att.time_faaaa": "attn_time_first",
     "att.time_mix_k": "attn_time_mix_k",
     "att.time_mix_v": "attn_time_mix_v",
     "att.time_mix_r": "attn_time_mix_r",
@@ -127,8 +128,11 @@ def convert(sd: dict[str, np.ndarray], outtype: str = "f16") -> GgufWriter:
         rk = next(v for k, v in sd.items() if k.endswith("att.r_k"))
         head_size = rk.shape[-1] if rk.ndim == 2 else 64
     elif version in ("v5", "v6"):
-        tf = next(v for k, v in sd.items() if k.endswith("att.time_first"))
-        head_size = tf.shape[-1] if tf.ndim == 2 else 64
+        tf = next(
+            v for k, v in sd.items()
+            if k.endswith(("att.time_first", "att.time_faaaa"))
+        )
+        head_size = tf.shape[-1] if tf.ndim >= 2 else 64
 
     w = GgufWriter()
     w.add_metadata("general.architecture", f"rwkv{version[1]}")
@@ -206,8 +210,11 @@ def convert(sd: dict[str, np.ndarray], outtype: str = "f16") -> GgufWriter:
                     arr = arr.T
                 if short in ("att.time_maa_w2", "att.time_mix_w2") and arr.ndim == 3:
                     arr = arr.transpose(0, 2, 1)
-                if arr.ndim > 1 and gguf_name.startswith(("attn_time_mix",
-                                                          "ffn_time_mix")):
+                if (
+                    arr.ndim > 1
+                    and gguf_name.startswith(("attn_time_mix", "ffn_time_mix"))
+                    and not gguf_name.endswith(("w1", "w2"))
+                ):
                     arr = arr.reshape(-1)
                 quantizable = gguf_name.endswith(".weight") and "norm" not in gguf_name
                 emit(f"blk.{i}.{gguf_name}", arr, quantizable)
