@@ -254,3 +254,14 @@ def test_convert_app_v6(tmp_path):
         jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),
     )
     assert bool(jnp.isfinite(x).all())
+
+
+def test_gen_app_fused(model_file, vocab_file, capsys):
+    from web_rwkv_gguf_tpu.apps import gen
+
+    gen.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--prompt", "hi", "--max-tokens", "6", "--sampler", "greedy", "--fused",
+    ])
+    out = capsys.readouterr().out
+    assert "hi" in out

@@ -18,6 +18,11 @@ def main(argv=None):
     p.add_argument("--prompt", default="The Eiffel Tower is located in the city of")
     p.add_argument("--max-tokens", type=int, default=200)
     p.add_argument("--stop", action="append", default=["\n\n"])
+    p.add_argument(
+        "--fused", action="store_true",
+        help="fused on-device generation (greedy/top-k on chip, ~15x decode "
+             "throughput; no per-token streaming)",
+    )
     args = p.parse_args(argv)
 
     from ..runtime import Engine, RnnInput, RnnInputBatch, RnnOption, softmax
@@ -28,6 +33,22 @@ def main(argv=None):
 
     engine = Engine(info, params, num_batch=1, token_chunk_size=args.token_chunk_size)
     prompt_tokens = tokenizer.encode(args.prompt)
+
+    if args.fused:
+        t0 = time.perf_counter()
+        toks = engine.generate(
+            [list(prompt_tokens)], args.max_tokens,
+            temperature=0.0 if args.sampler == "greedy" else args.temp,
+            seed=args.seed or 0,
+        )[0]
+        dt = time.perf_counter() - t0
+        print(args.prompt + tokenizer.decode(toks).decode("utf-8", "replace"))
+        print(
+            f"[{len(prompt_tokens)} prompt + {len(toks)} generated tokens in "
+            f"{dt:.2f}s = {len(toks)/dt:.0f} gen t/s]",
+            file=sys.stderr,
+        )
+        return
     inp = RnnInput(
         [RnnInputBatch(list(prompt_tokens), RnnOption.LAST)], args.token_chunk_size
     )
