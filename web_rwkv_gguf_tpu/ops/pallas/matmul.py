@@ -119,6 +119,12 @@ def quant_matmul(
     g = scales.shape[-1]
     gsize = k // g
 
+    # VMEM budget: the kernel holds ~5 f32 intermediates of [block_m, K]
+    # (unpack, scale/min expansion, dequantized tile) — keep the tile
+    # under ~2M elements so the scoped allocation stays well inside the
+    # 16 MB VMEM limit
+    while block_m > 64 and block_m * k > 400_000:
+        block_m //= 2
     while m % block_m:
         block_m //= 2
     grid = (m // block_m,)
