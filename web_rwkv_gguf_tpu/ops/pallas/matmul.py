@@ -9,6 +9,10 @@ byte count (the "speed-of-light" target the reference chased with its
 WGSL K-quant shaders, ref: src/shaders/matmul_vec_q4k_v2.wgsl, and did
 not reach — see BASELINE.md notes).
 
+The f32 dequant intermediates are the VMEM pressure point, so the kernel
+processes K in slabs (static unrolled loop) and accumulates partial dot
+products: only [block_m, SLAB_K]-sized temporaries are ever live.
+
 Layouts (from quant/repack.py):
   qk       codes u8 [M, K/2] split-halves nibbles; scales/mins [M, K/G]
   qk_b     codes u8 [M, K] (0..31);                scales/mins [M, K/G]
@@ -27,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import config
 
+# dequant temporaries per K-slab: several i32/f32 copies live at once
+# (unpack, group expansion, dequant, and both halves for "qk"), so keep
+# block_m·SLAB small enough that ~20 bytes/element stays well under the
+# 16 MB scoped-VMEM limit together with the code/scale blocks
+_MAX_TILE_ELEMS = 131_072
+
 
 def _expand_groups(s: jax.Array, gsize: int) -> jax.Array:
     """[.., G] → [.., G*gsize] by repeating each group value.
@@ -43,43 +53,78 @@ def _expand_groups(s: jax.Array, gsize: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k, extra_refs):
-    x = x_ref[:]  # [N, K] bf16
-    codes = codes_ref[:]
-    # dequant arithmetic in f32, rounded to bf16 once — same rounding as
-    # the XLA reference path (dequantize f32 → cast bf16 → MXU)
-    if kind == "qk":
-        # Mosaic has no u8→f32 cast; widen to i32 for the bit ops first
-        ci = codes.astype(jnp.int32)
-        lo = (ci & 0x0F).astype(jnp.float32)
-        hi = (ci >> 4).astype(jnp.float32)
-        q = jnp.concatenate([lo, hi], axis=-1)  # [TM, K]
-    elif codes.dtype == jnp.uint8:
+def _dequant_slab(kind, codes, scales, extras, gsize):
+    """Dequantize one [TM, slab] slice of codes to bf16 (f32 arithmetic,
+    rounded once — same rounding as the XLA reference path)."""
+    if codes.dtype == jnp.uint8:
         q = codes.astype(jnp.int32).astype(jnp.float32)
     else:
         q = codes.astype(jnp.float32)
-
     if kind == "int8":
-        mn_ref, mx_ref = extra_refs
-        mn = mn_ref[:]
-        mx = mx_ref[:]
+        mn, mx = extras
         scale = _expand_groups((mx - mn) * (1.0 / 255.0), gsize)
         off = _expand_groups(mn, gsize)
         w = q * scale + off
     elif kind in ("qk", "qk_b"):
-        (mins_ref,) = extra_refs
-        scale = _expand_groups(scales_ref[:], gsize)
-        mins = _expand_groups(mins_ref[:], gsize)
-        w = q * scale - mins
+        (mins,) = extras
+        scale = _expand_groups(scales, gsize)
+        w = q * scale - _expand_groups(mins, gsize)
     else:  # qk_nomin
-        scale = _expand_groups(scales_ref[:], gsize)
-        w = q * scale
+        w = q * _expand_groups(scales, gsize)
+    return w.astype(jnp.bfloat16)
 
-    out_ref[:] = jax.lax.dot_general(
-        x, w.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k,
+            slab, extra_refs):
+    x = x_ref[:]  # [N, K] bf16
+    acc = None
+
+    def dot(xs, w):
+        return jax.lax.dot_general(
+            xs, w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if kind == "qk":
+        # split-halves: code byte j covers elements j and j+K/2
+        half = k // 2
+        for s in range(0, half, slab):
+            e = min(s + slab, half)
+            ci = codes_ref[:, s:e].astype(jnp.int32)
+            gs, ge = s // gsize, e // gsize
+            ghs, ghe = (half + s) // gsize, (half + e) // gsize
+            lo = _dequant_slab(
+                kind, ci & 0x0F, scales_ref[:, gs:ge],
+                tuple(r[:, gs:ge] for r in extra_refs), gsize,
+            )
+            hi = _dequant_slab(
+                kind, ci >> 4, scales_ref[:, ghs:ghe],
+                tuple(r[:, ghs:ghe] for r in extra_refs), gsize,
+            )
+            part = dot(x[:, s:e], lo) + dot(x[:, half + s : half + e], hi)
+            acc = part if acc is None else acc + part
+    else:
+        for s in range(0, k, slab):
+            e = min(s + slab, k)
+            gs, ge = s // gsize, e // gsize
+            w = _dequant_slab(
+                kind, codes_ref[:, s:e], scales_ref[:, gs:ge],
+                tuple(r[:, gs:ge] for r in extra_refs), gsize,
+            )
+            part = dot(x[:, s:e], w)
+            acc = part if acc is None else acc + part
+
+    out_ref[:] = acc
+
+
+def _pick_slab(block_m: int, k: int, gsize: int) -> int:
+    """Largest K-slab (multiple of lcm(gsize, 128)) within the VMEM budget."""
+    step = gsize
+    while step % 128:
+        step += gsize
+    slab = max(step, (_MAX_TILE_ELEMS // block_m) // step * step)
+    return min(slab, -(-k // step) * step)
 
 
 def quant_matmul(
@@ -119,15 +164,10 @@ def quant_matmul(
     g = scales.shape[-1]
     gsize = k // g
 
-    # VMEM budget: the kernel holds ~5 f32 intermediates of [block_m, K]
-    # (unpack, scale/min expansion, dequantized tile) — keep the tile
-    # under ~2M elements so the scoped allocation stays well inside the
-    # 16 MB VMEM limit
-    while block_m > 64 and block_m * k > 400_000:
-        block_m //= 2
     while m % block_m:
         block_m //= 2
     grid = (m // block_m,)
+    slab = _pick_slab(block_m, k, gsize)
 
     in_specs = [
         pl.BlockSpec((n, x.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -140,7 +180,8 @@ def quant_matmul(
         )
 
     kernel = functools.partial(
-        _body_dispatch, kind=kind, gsize=gsize, k=k, n_extras=len(extras)
+        _body_dispatch, kind=kind, gsize=gsize, k=k, slab=slab,
+        n_extras=len(extras),
     )
     out = pl.pallas_call(
         kernel,
@@ -158,10 +199,11 @@ def quant_matmul(
     return out
 
 
-def _body_dispatch(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, n_extras):
+def _body_dispatch(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
+                   n_extras):
     extra_refs = rest[:n_extras]
     out_ref = rest[n_extras]
     _kernel(
         x_ref, codes_ref, scales_ref, out_ref,
-        kind=kind, gsize=gsize, k=k, extra_refs=extra_refs,
+        kind=kind, gsize=gsize, k=k, slab=slab, extra_refs=extra_refs,
     )
