@@ -191,3 +191,21 @@ def test_engine_embed_tokens(model):
     inp2 = RnnInput([RnnInputBatch(mixed)], 32)
     got = eng2.infer(inp2)[0][-1]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_with_mesh(model):
+    """Engine(mesh=...) shards state/params transparently."""
+    import jax
+    from web_rwkv_gguf_tpu.parallel import make_mesh, shard_params
+
+    info, params = model
+    eng_ref = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch([1, 2, 3, 4])], 32)
+    want = eng_ref.infer(inp)[0][-1]
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    sp = shard_params(params, mesh, info)
+    eng = Engine(info, sp, num_batch=1, token_chunk_size=32, mesh=mesh)
+    inp2 = RnnInput([RnnInputBatch([1, 2, 3, 4])], 32)
+    got = eng.infer(inp2)[0][-1]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

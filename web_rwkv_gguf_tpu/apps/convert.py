@@ -229,12 +229,28 @@ def main(argv=None):
     p.add_argument("input", help=".pth or .st checkpoint")
     p.add_argument("--output", required=True)
     p.add_argument("--outtype", default="f16", choices=["f32", "f16", "q8_0", "q4_k"])
+    p.add_argument(
+        "--format", default=None, choices=["gguf", "st"],
+        help="output container (default: from output extension; 'st' mirrors "
+             "the reference's convert_safetensors.py pth->st path)",
+    )
     args = p.parse_args(argv)
 
     sd = load_checkpoint(args.input)
     print(f"{len(sd)} tensors, detected {detect_version(sd)}")
-    writer = convert(sd, args.outtype)
-    writer.write(args.output)
+    fmt = args.format or ("st" if args.output.endswith((".st", ".safetensors")) else "gguf")
+    if fmt == "st":
+        from ..io.safetensors import write_safetensors
+
+        cast = np.float32 if args.outtype == "f32" else np.float16
+        write_safetensors(
+            args.output,
+            {k: np.asarray(v).squeeze().astype(cast) if np.asarray(v).ndim > 2
+             else np.asarray(v, cast) for k, v in sd.items()},
+        )
+    else:
+        writer = convert(sd, args.outtype)
+        writer.write(args.output)
     print(f"wrote {args.output}: {Path(args.output).stat().st_size/1e6:.1f} MB")
 
 

@@ -10,6 +10,8 @@ def main(argv=None):
     p.add_argument("model", help=".gguf file")
     p.add_argument("--tensors", action="store_true", help="list all tensors")
     p.add_argument("--detect", action="store_true", help="run version detection")
+    p.add_argument("--stats", action="store_true",
+                   help="per-tensor weight quantile statistics")
     args = p.parse_args(argv)
 
     from ..gguf import GgufFile
@@ -31,6 +33,18 @@ def main(argv=None):
                 f"  {name:50} {str(tuple(info.dims)):>20} {info.dtype.name:>6} "
                 f"@ {info.offset}"
             )
+    if args.stats:
+        import numpy as np
+
+        from ..quant.formats import matrix_statistics
+
+        print("statistics:")
+        for name in sorted(f.tensors):
+            try:
+                st = matrix_statistics(f.tensor(name, np.float32))
+            except Exception:
+                continue
+            print(f"  {name:50} " + " ".join(f"{k}={v:+.4f}" for k, v in st.items()))
     if args.detect:
         from ..models import detect_info
 

@@ -186,3 +186,20 @@ def dequantize_nf4(packed: np.ndarray, absmax: np.ndarray, lut: np.ndarray) -> n
     hi = lut[(packed >> 4).astype(np.int32)]
     vals = np.stack([lo, hi], axis=-1).reshape(-1, NF4_BLOCK_SIZE)
     return (vals * absmax.astype(np.float32)[:, None]).reshape(-1)
+
+
+def matrix_statistics(values: np.ndarray) -> dict:
+    """Quantile summary of a weight matrix: min, q_005, q_25, q_50, q_75,
+    q_995, max (ref: src/tensor/matrix.rs:274-297 MatrixStatistics)."""
+    v = np.sort(np.asarray(values, np.float32).reshape(-1))
+    n = len(v) - 1
+    idx = {
+        "min": 0,
+        "q_005": int(n * 0.005),
+        "q_25": n // 2 // 2,
+        "q_50": n // 2,
+        "q_75": (n // 2 + n) // 2,
+        "q_995": int(n * 0.995),
+        "max": n,
+    }
+    return {k: float(v[i]) for k, i in idx.items()}

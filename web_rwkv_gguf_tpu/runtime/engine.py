@@ -73,12 +73,18 @@ class Engine:
         token_chunk_size: int = 128,
         rescale: int | None = None,
         initial_wkv: np.ndarray | None = None,
+        mesh=None,
     ):
         self.info = info
         self.params = params
         self.num_batch = num_batch
         self.token_chunk_size = token_chunk_size
+        self.mesh = mesh
         self.state = init_state(info, num_batch)
+        if mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, mesh)
         if initial_wkv is not None:
             # pretrained time_state: [L, H, K, V] broadcast over batch lanes
             wkv = jnp.asarray(initial_wkv)[:, None]
@@ -98,6 +104,19 @@ class Engine:
             ),
             donate_argnums=(1,),
         )
+
+        # fused variant for all-LAST chunks (decode): one launch computes
+        # the forward AND each lane's last-token logits
+        def _fwd_last(params, state, tokens, lengths):
+            x, state = forward_chunk(
+                info, params, state, tokens, lengths, rescale=rescale
+            )
+            B, T = tokens.shape
+            idx = jnp.clip(lengths - 1, 0, T - 1)
+            rows = x[jnp.arange(B), idx]
+            return logits_head(params, rows), state
+
+        self._forward_last = jax.jit(_fwd_last, donate_argnums=(1,))
         self._head = jax.jit(logits_head)
 
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
@@ -150,6 +169,28 @@ class Engine:
             for t in batch.tokens[: p.len]
         )
         lengths = jnp.asarray(lens, jnp.int32)
+
+        all_last = not has_embeds and all(
+            p.option in (None, RnnOption.LAST) for p in plan
+        )
+        if all_last:
+            tokens = np.zeros((self.num_batch, T), np.int32)
+            for b, (batch, p) in enumerate(zip(input.batches, plan)):
+                tokens[b, : p.len] = batch.tokens[: p.len]
+            logits, self.state = self._forward_last(
+                self.params, self.state, jnp.asarray(tokens), lengths
+            )
+            input.step(plan)
+            host_logits = None
+            out = []
+            for b, p in enumerate(plan):
+                if p.option == RnnOption.LAST and p.len > 0:
+                    if host_logits is None:
+                        host_logits = np.asarray(logits)
+                    out.append(host_logits[b : b + 1])
+                else:
+                    out.append(np.zeros((0, self.info.num_vocab), np.float32))
+            return RnnOutput(out)
 
         if has_embeds:
             # Token::Embed path (ref: src/runtime/infer/mod.rs:21-56):
