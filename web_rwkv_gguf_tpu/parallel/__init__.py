@@ -16,3 +16,4 @@ from .sharding import (  # noqa: F401
     data_sharding,
     multihost_initialize,
 )
+from .sequence import make_seq_parallel_prefill  # noqa: F401

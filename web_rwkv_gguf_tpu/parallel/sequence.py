@@ -1,0 +1,257 @@
+"""Sequence-parallel prefill: shard a long prompt's TIME axis over devices.
+
+The WKV recurrence looks inherently sequential, but each device's chunk
+acts on the state as an affine map ``S_out = M·S_in + O`` per head (see
+ops/wkv_chunked.py: ``Ŝ_L = (I + B̂ᵀT⁻¹Â) Ŝ₀ + ...``). Devices compute
+their local ``(M, O)`` with MXU matmuls, all-gather the small per-chunk
+maps (H·K·(K+V) floats), compose prefixes locally, and then each device
+knows its true incoming state and finishes its outputs — two passes over
+the local tokens, full parallelism across devices. Token-shift needs only
+the single boundary activation from the left neighbor (``ppermute``).
+
+This is the RWKV-native answer to ring-attention/Ulysses (cf. SURVEY.md
+§2.6): cross-device traffic is O(H·K²) per layer regardless of sequence
+length. V7 only (the flagship); lengths must equal the full T (no
+padding) — sequence parallelism targets long dense prompts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.forward import GN_EPS, L2_EPS, LN_EPS, _flat, _heads
+from ..models.info import ModelInfo, ModelVersion
+from ..ops import basic as B
+from ..ops import wkv as W
+from ..ops.wkv_chunked import _tri_solve_unit_lower
+
+
+# --------------------------------------------------------------------------
+# chunk transition map: S_out = M S_in + O  for one device's token block
+# --------------------------------------------------------------------------
+
+
+def _wkv7_transition(r, w, k, v, a, b, *, chunk=16):
+    """Per-head affine map of this token block: returns (M [B,H,K,K],
+    O [B,H,K,V]) such that S_after = diag-composed(M)·S_before + O.
+
+    Composed from sub-chunk maps: M_c = diag(P_L)(I + B̂ᵀT⁻¹Â),
+    O_c = diag(P_L)(B̂ᵀT⁻¹·strict_tril(ÂK̂ᵀ)V + K̂ᵀV)."""
+    f32 = jnp.float32
+    Bb, T, H, K = r.shape
+    V = v.shape[-1]
+    assert T % chunk == 0
+    n = T // chunk
+
+    def to_chunks(x):
+        return x.astype(f32).reshape(Bb, n, chunk, H, -1).transpose(1, 0, 3, 2, 4)
+
+    rc, wc, kc, vc, ac, bc = map(to_chunks, (r, w, k, v, a, b))
+    strict = jnp.tril(jnp.ones((chunk, chunk), f32), k=-1)
+    eyeK = jnp.eye(K, dtype=f32)
+
+    def step(carry, xs):
+        M_acc, O_acc = carry
+        _, ww, kk, vv, aa, bb = xs
+        P = jnp.cumprod(ww, axis=2)
+        P_prev = P / ww
+        inv_P = 1.0 / P
+        a_h = aa * P_prev
+        b_h = bb * inv_P
+        k_h = kk * inv_P
+
+        ab = jnp.einsum("bhik,bhjk->bhij", a_h, b_h, preferred_element_type=f32) * strict
+        ak = jnp.einsum("bhik,bhjk->bhij", a_h, k_h, preferred_element_type=f32) * strict
+
+        # U = T⁻¹(Â S_in + L_ak V): split into state-dependent and constant parts
+        TinvA = _tri_solve_unit_lower(ab, a_h)  # [B,H,L,K]
+        TinvC = _tri_solve_unit_lower(
+            ab, jnp.einsum("bhij,bhjd->bhid", ak, vv, preferred_element_type=f32)
+        )  # [B,H,L,V]
+
+        BtTA = jnp.einsum("bhlk,bhlj->bhkj", b_h, TinvA, preferred_element_type=f32)
+        M_c = eyeK + BtTA  # [B,H,K,K] (acting on Ŝ)
+        O_c = (
+            jnp.einsum("bhlk,bhld->bhkd", b_h, TinvC, preferred_element_type=f32)
+            + jnp.einsum("bhlk,bhld->bhkd", k_h, vv, preferred_element_type=f32)
+        )
+        PL = P[:, :, -1, :, None]
+        M_c = PL * M_c
+        O_c = PL * O_c
+
+        M_new = jnp.einsum("bhij,bhjk->bhik", M_c, M_acc, preferred_element_type=f32)
+        O_new = (
+            jnp.einsum("bhij,bhjd->bhid", M_c, O_acc, preferred_element_type=f32) + O_c
+        )
+        return (M_new, O_new), None
+
+    M0 = jnp.broadcast_to(eyeK, (Bb, H, K, K))
+    O0 = jnp.zeros((Bb, H, K, V), f32)
+    (M, O), _ = jax.lax.scan(step, (M0, O0), (rc, wc, kc, vc, ac, bc))
+    return M, O
+
+
+# --------------------------------------------------------------------------
+# sequence-parallel V7 layer pieces (inside shard_map over axis "seq")
+# --------------------------------------------------------------------------
+
+
+def _sp_prev_token(x, axis):
+    """x [B, T_loc, C] → previous-token tensor with the boundary activation
+    fetched from the left neighbor (device 0 receives zeros, matching a
+    zero shift state)."""
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    last = x[:, -1, :]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(last, axis, perm)
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    return jnp.concatenate([from_left[:, None, :], x[:, :-1, :]], axis=1)
+
+
+def _sp_token_shift(x, x_prev, mix):
+    return x + mix * (x_prev - x)  # v7 reversed lerp
+
+
+def _sp_wkv7(S0, rh, wh, kh, vh, ah, bh, axis):
+    """Sequence-parallel WKV: local transitions → all-gather → prefix
+    composition → local chunk with the true incoming state."""
+    f32 = jnp.float32
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+
+    M, O = _wkv7_transition(rh, wh, kh, vh, ah, bh)
+    Ms = jax.lax.all_gather(M, axis)  # [n, B, H, K, K]
+    Os = jax.lax.all_gather(O, axis)
+
+    # prefix-compose maps of devices 0..idx-1 applied to the global S0
+    def compose(carry, xs):
+        S = carry
+        Mi, Oi, i = xs
+        S_next = jnp.einsum("bhij,bhjd->bhid", Mi, S, preferred_element_type=f32) + Oi
+        S = jnp.where(i < idx, S_next, S)
+        return S, None
+
+    S_in, _ = jax.lax.scan(
+        compose, S0.astype(f32), (Ms, Os, jnp.arange(n))
+    )
+
+    from ..ops.wkv_chunked import wkv7_chunked
+
+    mask = jnp.ones(rh.shape[:2], bool)
+    y, S_out = wkv7_chunked(S_in, rh, wh, kh, vh, ah, bh, mask)
+    # device n-1 holds the final state
+    return y, S_out
+
+
+def _layer_v7_sp(info, blk, lst, x, v0, layer_idx, axis):
+    """Sequence-parallel mirror of models.forward._layer_v7 (kept in sync
+    by the parity test in tests/test_seq_parallel.py)."""
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xprev = _sp_prev_token(xx, axis)
+
+    rx = _sp_token_shift(xx, xprev, att["x_r"])
+    wx = _sp_token_shift(xx, xprev, att["x_w"])
+    kx = _sp_token_shift(xx, xprev, att["x_k"])
+    vx = _sp_token_shift(xx, xprev, att["x_v"])
+    ax = _sp_token_shift(xx, xprev, att["x_a"])
+    gx = _sp_token_shift(xx, xprev, att["x_g"])
+
+    r = att["Wr"].matmul(rx)
+    k = att["Wk"].matmul(kx)
+    v = att["Wv"].matmul(vx)
+
+    def lora(x_in, w_a, w_b, mid_act=None):
+        z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
+        if mid_act is not None:
+            z = mid_act(z)
+        return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
+
+    w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
+    a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
+    g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+
+    kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
+    k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])
+
+    v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))
+    v_res = v + v_mix * (v0 - v)
+    is_first = layer_idx == 0
+    v = jnp.where(is_first, v, v_res)
+    v0 = jnp.where(is_first, v, v0)
+
+    w_dec = W.wkv7_act_w(w_in)
+    rh, wh, kh, vh = (_heads(t, H) for t in (r, w_dec, k, v))
+    kkh = _heads(kk, H)
+    y, wkv = _sp_wkv7(lst["wkv"], rh, wh, kh, vh, -kkh, kkh * _heads(a, H), axis)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
+    y = y * g
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xprev2 = _sp_prev_token(xx2, axis)
+    kx2 = _sp_token_shift(xx2, xprev2, ffn["x_k"])
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    x = x + ffn["Wv"].matmul(kf)
+
+    new = {"att_shift": xx[:, -1, :], "wkv": wkv, "ffn_shift": xx2[:, -1, :]}
+    return x, v0, new
+
+
+def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model"):
+    """Build a jitted sequence-parallel prefill for V7.
+
+    ``fn(params, state, tokens [B, T]) -> (x [B,T,C], new_state)`` with
+    T sharded over ``axis``; all B sequences must be full-length (the
+    long-prompt regime this mode is for), and T must divide evenly by
+    the axis size × 16. Weights are replicated along ``axis``.
+    """
+    if info.version != ModelVersion.V7:
+        raise NotImplementedError("sequence-parallel prefill is V7-only")
+    L = info.num_layer
+
+    def inner(params, state, tokens):
+        from ..models.forward import embed_tokens
+
+        x = embed_tokens(params, tokens)
+        v0 = jnp.zeros_like(x)
+        blocks = params["blocks"]
+        layer_ids = jnp.arange(L)
+
+        def body(carry, xs):
+            x, v0 = carry
+            blk, lst, idx = xs
+            x, v0, new = _layer_v7_sp(info, blk, lst, x, v0, idx, "seq")
+            return (x, v0), new
+
+        (x, _), new_state = jax.lax.scan(body, (x, v0), (blocks, state, layer_ids))
+
+        # shift states live on the LAST device; broadcast so every shard
+        # returns identical (replicated) state
+        def from_last(v):
+            return jax.lax.all_gather(v, "seq")[-1]
+
+        new_state = {
+            "att_shift": from_last(new_state["att_shift"]),
+            "ffn_shift": from_last(new_state["ffn_shift"]),
+            "wkv": from_last(new_state["wkv"]),
+        }
+        return x, new_state
+
+    # rename the mesh axis to "seq" inside the mapped fn for clarity
+    seq_mesh = Mesh(mesh.devices, tuple("seq" if a == axis else a for a in mesh.axis_names))
+    rep = P()
+    mapped = shard_map(
+        inner,
+        mesh=seq_mesh,
+        in_specs=(rep, rep, P(None, "seq")),
+        out_specs=(P(None, "seq"), rep),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
