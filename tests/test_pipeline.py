@@ -1,0 +1,54 @@
+"""Pipeline-parallel forward parity on a virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from web_rwkv_gguf_tpu.gguf import GgufFile
+from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model
+from web_rwkv_gguf_tpu.parallel import make_mesh
+from web_rwkv_gguf_tpu.parallel.pipeline import make_pipeline_forward, pipeline_state
+
+import fixtures
+
+
+def test_pipeline_matches_single():
+    info, params = load_model(
+        GgufFile(fixtures.make_v7_gguf(n_layer=4, n_emb=32, head_size=8, n_vocab=64))
+    )
+    M, B, T = 3, 2, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, info.num_vocab, (M, B, T)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(3, T + 1, (M, B)), jnp.int32)
+
+    # reference: each microbatch independently through the plain forward
+    want = []
+    for m in range(M):
+        x, st = forward_chunk(info, params, init_state(info, B), tokens[m], lengths[m])
+        want.append((np.asarray(x), jax.tree.map(np.asarray, st)))
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    ppf = make_pipeline_forward(info, mesh, axis="model", num_microbatch=M)
+    st0 = pipeline_state(info, M, B)
+    x_got, st_got = ppf(params, st0, tokens, lengths)
+
+    for m in range(M):
+        x_w, st_w = want[m]
+        mask = (np.arange(T)[None, :] < np.asarray(lengths[m])[:, None])[..., None]
+        np.testing.assert_allclose(
+            np.asarray(x_got[m]) * mask, x_w * mask, rtol=5e-4, atol=5e-4
+        )
+        for k in st_w:
+            np.testing.assert_allclose(
+                np.asarray(st_got[k][:, m]), st_w[k], rtol=5e-4, atol=5e-4,
+                err_msg=f"mb{m} {k}",
+            )
+
+
+def test_pipeline_rejects_bad_config():
+    info, params = load_model(GgufFile(fixtures.make_v7_gguf(n_layer=2)))
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="divide"):
+        make_pipeline_forward(info, mesh, axis="model")
