@@ -141,7 +141,7 @@ def make_pipeline_forward(
         mesh=pp_mesh,
         in_specs=(params_spec, P("pp"), P(), P()),
         out_specs=(P(), P("pp")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 

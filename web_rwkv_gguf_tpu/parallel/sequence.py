@@ -252,6 +252,6 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
         mesh=seq_mesh,
         in_specs=(rep, rep, P(None, "seq")),
         out_specs=(P(None, "seq"), rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
