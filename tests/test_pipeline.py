@@ -52,3 +52,32 @@ def test_pipeline_rejects_bad_config():
     mesh = make_mesh(1, 4, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="divide"):
         make_pipeline_forward(info, mesh, axis="model")
+
+
+def test_pipeline_composes_with_data_parallel():
+    """2x2 mesh: batch sharded on 'data' while layers shard on 'pp'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    info, params = load_model(
+        GgufFile(fixtures.make_v7_gguf(n_layer=4, n_emb=32, head_size=8, n_vocab=64))
+    )
+    M, B, T = 2, 4, 8
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, info.num_vocab, (M, B, T)), jnp.int32)
+    lengths = jnp.full((M, B), T, jnp.int32)
+
+    want = []
+    for m in range(M):
+        x, _ = forward_chunk(info, params, init_state(info, B), tokens[m], lengths[m])
+        want.append(np.asarray(x))
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])  # (data, model)
+    ppf = make_pipeline_forward(info, mesh, axis="model", num_microbatch=M)
+    st0 = pipeline_state(info, M, B)
+    # shard the batch dim over 'data' on inputs
+    tok_sh = jax.device_put(tokens, NamedSharding(mesh, P(None, "data", None)))
+    x_got, _ = ppf(params, st0, tok_sh, lengths)
+    for m in range(M):
+        np.testing.assert_allclose(
+            np.asarray(x_got[m]), want[m], rtol=5e-4, atol=5e-4
+        )

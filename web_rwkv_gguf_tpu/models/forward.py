@@ -338,23 +338,10 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     return x, new
 
 
-def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
-    H = info.num_head
-    att, ffn = blk["att"], blk["ffn"]
-    x = hk("pre_att", x=x)["x"]
-    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
-    xx = hk("post_att_layer_norm", x=xx)["x"]
-    sh = lst["att_shift"]
-
-    rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
-    wx = B.token_shift(xx, sh, att["x_w"], reversed_mix=True)
-    kx = B.token_shift(xx, sh, att["x_k"], reversed_mix=True)
-    vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
-    ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
-    gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
-    t = hk("post_att_token_shift", rx=rx, wx=wx, kx=kx, vx=vx, ax=ax, gx=gx)
-    rx, wx, kx, vx, ax, gx = t["rx"], t["wx"], t["kx"], t["vx"], t["ax"], t["gx"]
-
+def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
+    """Projections + inner-LoRA adapters + control-k + value residual:
+    the shared middle of the V7 attention block (used by both the
+    standard and the sequence-parallel layer)."""
     r = att["Wr"].matmul(rx)
     k = att["Wk"].matmul(kx)
     v = att["Wv"].matmul(vx)
@@ -387,10 +374,31 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     v = hk("post_att_value_residual", v=v)["v"]
 
     w_dec = W.wkv7_act_w(w_in)
-    rh, wh, kh, vh = (_heads(t, H) for t in (r, w_dec, k, v))
+    rh, wh, kh, vh = (_heads(t_, H) for t_ in (r, w_dec, k, v))
     kkh = _heads(kk, H)
-    ah = -kkh
-    bh = kkh * _heads(a, H)
+    return rh, wh, kh, vh, -kkh, kkh * _heads(a, H), g, v0
+
+
+def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    x = hk("pre_att", x=x)["x"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xx = hk("post_att_layer_norm", x=xx)["x"]
+    sh = lst["att_shift"]
+
+    rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
+    wx = B.token_shift(xx, sh, att["x_w"], reversed_mix=True)
+    kx = B.token_shift(xx, sh, att["x_k"], reversed_mix=True)
+    vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
+    ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
+    gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
+    t = hk("post_att_token_shift", rx=rx, wx=wx, kx=kx, vx=vx, ax=ax, gx=gx)
+    rx, wx, kx, vx, ax, gx = t["rx"], t["wx"], t["kx"], t["vx"], t["ax"], t["gx"]
+
+    rh, wh, kh, vh, ah, bh, g, v0 = _v7_mix_inputs(
+        att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk
+    )
     y, wkv = _wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))

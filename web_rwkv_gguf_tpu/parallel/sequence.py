@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.forward import GN_EPS, L2_EPS, LN_EPS, _flat, _heads
+from ..models.forward import GN_EPS, LN_EPS, _flat, _heads, _v7_mix_inputs
 from ..models.info import ModelInfo, ModelVersion
 from ..ops import basic as B
 from ..ops import wkv as W
@@ -162,33 +162,10 @@ def _layer_v7_sp(info, blk, lst, x, v0, layer_idx, axis):
     ax = _sp_token_shift(xx, xprev, att["x_a"])
     gx = _sp_token_shift(xx, xprev, att["x_g"])
 
-    r = att["Wr"].matmul(rx)
-    k = att["Wk"].matmul(kx)
-    v = att["Wv"].matmul(vx)
-
-    def lora(x_in, w_a, w_b, mid_act=None):
-        z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
-        if mid_act is not None:
-            z = mid_act(z)
-        return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
-
-    w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
-    a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
-    g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
-
-    kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
-    k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])
-
-    v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))
-    v_res = v + v_mix * (v0 - v)
-    is_first = layer_idx == 0
-    v = jnp.where(is_first, v, v_res)
-    v0 = jnp.where(is_first, v, v0)
-
-    w_dec = W.wkv7_act_w(w_in)
-    rh, wh, kh, vh = (_heads(t, H) for t in (r, w_dec, k, v))
-    kkh = _heads(kk, H)
-    y, wkv = _sp_wkv7(lst["wkv"], rh, wh, kh, vh, -kkh, kkh * _heads(a, H), axis)
+    rh, wh, kh, vh, ah, bh, g, v0 = _v7_mix_inputs(
+        att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx
+    )
+    y, wkv = _sp_wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, axis)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
     y = y * g
