@@ -12,9 +12,6 @@ Op order mirrors the reference dispatchers exactly:
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

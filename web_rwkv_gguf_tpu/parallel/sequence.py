@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.forward import GN_EPS, LN_EPS, _flat, _heads, _v7_mix_inputs
+from ..models.forward import GN_EPS, LN_EPS, _flat, _v7_mix_inputs
 from ..models.info import ModelInfo, ModelVersion
 from ..ops import basic as B
 from ..ops import wkv as W
