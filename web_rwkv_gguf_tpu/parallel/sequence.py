@@ -147,6 +147,87 @@ def _sp_wkv7(S0, rh, wh, kh, vh, ah, bh, axis):
     return y, S_out
 
 
+def _sp_wkv6(S0, rh, kh, vh, u, wh, axis):
+    """Sequence-parallel V5/V6 WKV: the transition is diagonal, so the
+    per-device map is (D = ∏w, O = final state from zero init)."""
+    from ..ops.wkv_chunked import wkv6_chunked
+
+    f32 = jnp.float32
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    mask = jnp.ones(rh.shape[:2], bool)
+
+    D = jnp.prod(wh.astype(f32), axis=1)[..., None]  # [B, H, K, 1]
+    _, O = wkv6_chunked(jnp.zeros_like(S0), rh, kh, vh, u, wh, mask)
+
+    Ds = jax.lax.all_gather(D, axis)
+    Os = jax.lax.all_gather(O, axis)
+
+    def compose(S, xs):
+        Di, Oi, i = xs
+        S_next = Di * S + Oi
+        return jnp.where(i < idx, S_next, S), None
+
+    S_in, _ = jax.lax.scan(compose, S0.astype(f32), (Ds, Os, jnp.arange(n)))
+    return wkv6_chunked(S_in, rh, kh, vh, u, wh, mask)
+
+
+def _layer_v6_sp(info, blk, lst, x, axis):
+    """Sequence-parallel mirror of models.forward._layer_v6."""
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xprev = _sp_prev_token(xx, axis)
+
+    sx = _sp_token_shift(xx, xprev, att["mix_x"])
+    z = jnp.tanh(
+        jnp.einsum("btc,fc->btf", sx, att["tm_w1"], preferred_element_type=jnp.float32)
+    )
+    r5 = att["tm_w1"].shape[0] // 5
+    z = z.reshape(z.shape[0], z.shape[1], 5, r5)
+    mix = jnp.einsum(
+        "btfr,fcr->btfc", z, att["tm_w2"], preferred_element_type=jnp.float32
+    ) + att["time_mix"][None, None]
+
+    wx = _sp_token_shift(xx, xprev, mix[:, :, 0])
+    kx = _sp_token_shift(xx, xprev, mix[:, :, 1])
+    vx = _sp_token_shift(xx, xprev, mix[:, :, 2])
+    rx = _sp_token_shift(xx, xprev, mix[:, :, 3])
+    gx = _sp_token_shift(xx, xprev, mix[:, :, 4])
+
+    from ..models.forward import _heads
+
+    k = _heads(att["Wk"].matmul(kx), H)
+    v = _heads(att["Wv"].matmul(vx), H)
+    r = _heads(att["Wr"].matmul(rx), H)
+    g = att["Wg"].matmul(gx)
+
+    dz = jnp.tanh(
+        jnp.einsum("btc,dc->btd", wx, att["td_w1"], preferred_element_type=jnp.float32)
+    )
+    w_raw = jnp.einsum(
+        "btd,cd->btc", dz, att["td_w2"], preferred_element_type=jnp.float32
+    ) + att["time_decay"][None, None]
+    w = _heads(B.stable_exp(w_raw), H)
+
+    y, wkv = _sp_wkv6(lst["wkv"], r, k, v, att["time_first"], w, axis)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y * jax.nn.silu(g)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xprev2 = _sp_prev_token(xx2, axis)
+    kx2 = _sp_token_shift(xx2, xprev2, ffn["mix_k"])
+    rx2 = _sp_token_shift(xx2, xprev2, ffn["mix_r"])
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    vf = ffn["Wv"].matmul(kf)
+    rf = ffn["Wr"].matmul(rx2)
+    x = x + jax.nn.sigmoid(rf) * vf
+
+    new = {"att_shift": xx[:, -1, :], "wkv": wkv, "ffn_shift": xx2[:, -1, :]}
+    return x, new
+
+
 def _layer_v7_sp(info, blk, lst, x, v0, layer_idx, axis):
     """Sequence-parallel mirror of models.forward._layer_v7 (kept in sync
     by the parity test in tests/test_seq_parallel.py)."""
@@ -189,8 +270,8 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
     long-prompt regime this mode is for), and T must divide evenly by
     the axis size × 16. Weights are replicated along ``axis``.
     """
-    if info.version != ModelVersion.V7:
-        raise NotImplementedError("sequence-parallel prefill is V7-only")
+    if info.version not in (ModelVersion.V6, ModelVersion.V7):
+        raise NotImplementedError("sequence-parallel prefill supports V6/V7")
     L = info.num_layer
 
     def inner(params, state, tokens):
@@ -200,6 +281,21 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
         v0 = jnp.zeros_like(x)
         blocks = params["blocks"]
         layer_ids = jnp.arange(L)
+
+        if info.version == ModelVersion.V6:
+
+            def body6(x, xs):
+                blk, lst, idx = xs
+                x, new = _layer_v6_sp(info, blk, lst, x, "seq")
+                return x, new
+
+            x, new_state = jax.lax.scan(body6, x, (blocks, state, layer_ids))
+
+            def from_last(v):
+                return jax.lax.all_gather(v, "seq")[-1]
+
+            new_state = jax.tree.map(from_last, new_state)
+            return x, new_state
 
         def body(carry, xs):
             x, v0 = carry
