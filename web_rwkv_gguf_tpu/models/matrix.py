@@ -216,9 +216,14 @@ class Matrix:
                 return y.reshape(lead + (m,))
         if self.kind in ("qk_nomin", "qk_b", "int8") and x.ndim >= 2:
             return self._matmul_grouped(x)
-        w = self.dequantize(jnp.bfloat16)
+        # dense matrices honor their storage dtype (f32 loads give exact
+        # math for parity/QA); quantized paths compute in bf16
+        cdtype = (
+            self.arrays["w"].dtype if self.kind == "dense" else jnp.bfloat16
+        )
+        w = self.dequantize(cdtype)
         return jnp.einsum(
-            "...k,mk->...m", x.astype(jnp.bfloat16), w,
+            "...k,mk->...m", x.astype(cdtype), w,
             preferred_element_type=jnp.float32,
         )
 
