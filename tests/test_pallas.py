@@ -191,3 +191,44 @@ def test_wkv6_chunked_matches_xla():
         d = np.abs(np.asarray(y1) - np.asarray(y2)) * mask_np[:, :, None, None]
         assert d.max() < 1e-4, (chunk, d.max())
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "dtype,block_bytes,dequant_fn",
+    [
+        (GgmlDType.Q5_K, 176, "dequantize_q5_k"),
+        (GgmlDType.Q6_K, 210, "dequantize_q6_k"),
+        (GgmlDType.Q4_0, 18, "dequantize_q4_0"),
+    ],
+)
+def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
+    """Q5_K/Q6_K/Q4_0 repacked Matrix must dequantize to exactly the
+    block dequantizer's values (random raw blocks with sane scales)."""
+    from web_rwkv_gguf_tpu.quant import ggml as G
+
+    rng = np.random.default_rng(7)
+    M, K = 8, 512
+    n_blocks = M * K // G.GGML_BLOCK_SIZES[dtype]
+    raw = bytearray(rng.integers(0, 256, n_blocks * block_bytes, dtype=np.uint8).tobytes())
+    for b in range(n_blocks):
+        base = b * block_bytes
+        for off in (0, 2, 208):
+            if off + 2 <= block_bytes:
+                raw[base + off : base + off + 2] = np.float16(
+                    rng.uniform(0.001, 0.05)
+                ).tobytes()
+    raw = bytes(raw)
+    want = getattr(G, dequant_fn)(raw, M * K).reshape(M, K)
+    mat = Matrix.from_gguf_blocks(dtype, np.frombuffer(raw, np.uint8), (M, K))
+    got = np.asarray(mat.dequantize(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # and the fused kernel agrees (interpret mode)
+    x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+    y_got = np.asarray(quant_matmul(x, mat.kind, mat.arrays, M, K, block_m=8))
+    y_want = np.asarray(
+        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16),
+                   mat.dequantize(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    )
+    np.testing.assert_allclose(y_got, y_want, rtol=5e-2, atol=5e-2)
