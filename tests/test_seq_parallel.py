@@ -110,3 +110,26 @@ def test_seq_parallel_v6():
     np.testing.assert_allclose(
         np.asarray(x_got[:, :32]), np.asarray(x_want[:, :32]), rtol=1e-3, atol=1e-3
     )
+
+
+def test_seq_parallel_v5():
+    info, params = load_model(
+        GgufFile(fixtures.make_v5_gguf(n_layer=2, n_emb=16, head_size=4, n_vocab=32))
+    )
+    B, T = 2, 128
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, info.num_vocab, (B, T)), jnp.int32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    x_want, st_want = forward_chunk(info, params, init_state(info, B), tokens, lengths)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    spf = make_seq_parallel_prefill(info, mesh, axis="model")
+    x_got, st_got = spf(params, init_state(info, B), tokens)
+    for k in st_want:
+        np.testing.assert_allclose(
+            np.asarray(st_got[k]), np.asarray(st_want[k]), rtol=1e-3, atol=1e-3,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(x_got[:, :32]), np.asarray(x_want[:, :32]), rtol=1e-3, atol=1e-3
+    )

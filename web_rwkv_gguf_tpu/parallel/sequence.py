@@ -172,6 +172,42 @@ def _sp_wkv6(S0, rh, kh, vh, u, wh, axis):
     return wkv6_chunked(S_in, rh, kh, vh, u, wh, mask)
 
 
+def _layer_v5_sp(info, blk, lst, x, axis):
+    """Sequence-parallel mirror of models.forward._layer_v5."""
+    from ..models.forward import _heads
+
+    H = info.num_head
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xprev = _sp_prev_token(xx, axis)
+
+    def shift(mix):  # v5: non-reversed lerp
+        return xprev + mix * (xx - xprev)
+
+    k = _heads(att["Wk"].matmul(shift(att["mix_k"])), H)
+    v = _heads(att["Wv"].matmul(shift(att["mix_v"])), H)
+    r = _heads(att["Wr"].matmul(shift(att["mix_r"])), H)
+    g = att["Wg"].matmul(shift(att["mix_g"]))
+
+    wt = jnp.broadcast_to(
+        att["time_decay"][None, None], r.shape
+    )
+    y, wkv = _sp_wkv6(lst["wkv"], r, k, v, att["time_first"], wt, axis)
+    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+    y = y * jax.nn.silu(g)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xprev2 = _sp_prev_token(xx2, axis)
+    kx2 = xprev2 + ffn["mix_k"] * (xx2 - xprev2)
+    rx2 = xprev2 + ffn["mix_r"] * (xx2 - xprev2)
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    x = x + jax.nn.sigmoid(ffn["Wr"].matmul(rx2)) * ffn["Wv"].matmul(kf)
+
+    new = {"att_shift": xx[:, -1, :], "wkv": wkv, "ffn_shift": xx2[:, -1, :]}
+    return x, new
+
+
 def _layer_v6_sp(info, blk, lst, x, axis):
     """Sequence-parallel mirror of models.forward._layer_v6."""
     H = info.num_head
@@ -270,8 +306,8 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
     long-prompt regime this mode is for), and T must divide evenly by
     the axis size × 16. Weights are replicated along ``axis``.
     """
-    if info.version not in (ModelVersion.V6, ModelVersion.V7):
-        raise NotImplementedError("sequence-parallel prefill supports V6/V7")
+    if info.version not in (ModelVersion.V5, ModelVersion.V6, ModelVersion.V7):
+        raise NotImplementedError("sequence-parallel prefill supports V5/V6/V7")
     L = info.num_layer
 
     def inner(params, state, tokens):
@@ -282,11 +318,14 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
         blocks = params["blocks"]
         layer_ids = jnp.arange(L)
 
-        if info.version == ModelVersion.V6:
+        if info.version in (ModelVersion.V5, ModelVersion.V6):
+            layer_fn = (
+                _layer_v5_sp if info.version == ModelVersion.V5 else _layer_v6_sp
+            )
 
             def body6(x, xs):
                 blk, lst, idx = xs
-                x, new = _layer_v6_sp(info, blk, lst, x, "seq")
+                x, new = layer_fn(info, blk, lst, x, "seq")
                 return x, new
 
             x, new_state = jax.lax.scan(body6, x, (blocks, state, layer_ids))
