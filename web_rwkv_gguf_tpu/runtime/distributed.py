@@ -77,7 +77,9 @@ class DistributedEngine:
     def infer(self, input: RnnInput | None) -> RnnOutput | None:
         """One coordinated chunk. Non-coordinator processes pass
         ``input=None`` and receive ``None`` (logits are only materialized
-        on process 0)."""
+        on process 0). All processes must make the same number of infer
+        calls per request stream — drive workers from the same request
+        metadata (or broadcast a done flag at a higher level)."""
         jnp = self._jnp
         B = self.num_batch
 
