@@ -209,3 +209,13 @@ def test_engine_with_mesh(model):
     inp2 = RnnInput([RnnInputBatch([1, 2, 3, 4])], 32)
     got = eng.infer(inp2)[0][-1]
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_fused_generate_v4():
+    """Fused generation is version-agnostic (exercise V4)."""
+    info, params = load_model(GgufFile(fixtures.make_v4_gguf()))
+    prompt = [3, 1, 4]
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    got = eng.generate([prompt], max_tokens=6, segment=3)[0]
+    want = _direct_generate(info, params, prompt, 6)
+    assert got == want
