@@ -198,9 +198,19 @@ class Matrix:
         through ``lax.scan`` so each slice is a plain [M, K]. On TPU,
         quantized kinds dispatch to the fused Pallas dequant-matmul.
         """
+        def _pow2_divisor(n):
+            d = 1
+            while n % (d * 2) == 0:
+                d *= 2
+            return d
+
         if (
             self.kind in ("qk", "qk_b", "qk_nomin", "int8")
             and self.arrays["codes"].ndim == 2
+            # Mosaic needs an M-tile of at least 8 sublanes; matrices whose
+            # M has no pow2 divisor >= 8 (e.g. odd vocab sizes) take the
+            # XLA path
+            and _pow2_divisor(self.shape[0]) >= 8
         ):
             from ..ops.pallas import config as _pcfg
 
