@@ -117,20 +117,9 @@ def main():
 
     q4k_decode = _bench_decode(info, params_q)
     log(f"decode  Q4_K fused-loop batch1: {q4k_decode:.1f} tok/s")
-    q4k_decode8 = _bench_decode(info, params_q, B=8)
-    log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
-    q4k_percall = _bench_decode_percall(info, params_q)
-    log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
-    q4k_prefill = _bench_prefill(info, params_q)
-    log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
-    del params_q
 
-    info, params_d = synthetic_v7_params()
-    bf16_decode = _bench_decode(info, params_d)
-    log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
-    bf16_prefill = _bench_prefill(info, params_d)
-    log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
-
+    # headline goes out as soon as it exists — the extras below are
+    # best-effort (the device link in this environment can stall)
     print(
         json.dumps(
             {
@@ -139,8 +128,26 @@ def main():
                 "unit": "tok/s",
                 "vs_baseline": round(q4k_decode / BASELINE_DECODE_Q4K_TPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    try:
+        q4k_decode8 = _bench_decode(info, params_q, B=8)
+        log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
+        q4k_percall = _bench_decode_percall(info, params_q)
+        log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
+        q4k_prefill = _bench_prefill(info, params_q)
+        log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
+        del params_q
+
+        info, params_d = synthetic_v7_params()
+        bf16_decode = _bench_decode(info, params_d)
+        log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
+        bf16_prefill = _bench_prefill(info, params_d)
+        log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
+    except Exception as e:  # pragma: no cover
+        log(f"[extras skipped: {e}]")
 
 
 if __name__ == "__main__":
