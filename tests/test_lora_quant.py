@@ -89,11 +89,20 @@ def test_engine_requant_forward(scheme):
 
 
 def test_per_layer_quant_config():
-    """quant={0: INT8}: layer 0 quantized, layer 1 dense. Mixed formats
-    fall back to per-layer (unstacked) loading or raise clearly."""
+    """quant={0: INT8}: layer 0 quantized, layer 1 dense → per-layer
+    (unrolled) form that matches the dense model closely."""
     raw = fixtures.make_v7_gguf(seed=4, n_emb=128, head_size=32, n_hidden=256)
-    with pytest.raises(ValueError, match="uniform format"):
-        load_model(GgufFile(raw), quant={0: QuantScheme.INT8})
+    info, pf = load_model(GgufFile(raw))
+    info, pm = load_model(GgufFile(raw), quant={0: QuantScheme.INT8})
+    assert isinstance(pm["blocks"], list)
+    assert pm["blocks"][0]["att"]["Wk"].kind == "int8"
+    assert pm["blocks"][1]["att"]["Wk"].kind == "dense"
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    lens = jnp.asarray([4], jnp.int32)
+    xf, _ = forward_chunk(info, pf, init_state(info, 1), tokens, lens)
+    xm, _ = forward_chunk(info, pm, init_state(info, 1), tokens, lens)
+    rel = np.abs(np.asarray(xf) - np.asarray(xm)).mean() / np.abs(np.asarray(xf)).mean()
+    assert rel < 0.05, rel
 
 
 def test_time_state_import():

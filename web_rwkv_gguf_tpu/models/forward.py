@@ -473,12 +473,20 @@ def forward_chunk(
     layer_ids = jnp.arange(L)
     do_rescale = rescale is not None and rescale < L
 
+    # per-layer (list) blocks — e.g. mixed per-layer quant formats —
+    # cannot lax.scan; run them through the unrolled path
+    if isinstance(blocks, list) and hooks is None:
+        hooks = {}
+
     if hooks is not None:
         x = HookCtx(hooks, -1)("post_embed", x=x)["x"]
         new_states = []
         v0 = jnp.zeros_like(x)
         for i in range(L):
-            blk = jax.tree.map(lambda a: a[i], blocks)
+            if isinstance(blocks, list):
+                blk = blocks[i]
+            else:
+                blk = jax.tree.map(lambda a: a[i], blocks)
             lst = jax.tree.map(lambda a: a[i], state)
             hk = HookCtx(hooks, i)
             if version == ModelVersion.V7:

@@ -137,17 +137,42 @@ def _stack(items: list[np.ndarray]) -> jnp.ndarray:
     return jnp.asarray(np.stack(items))
 
 
-def _stack_matrices(mats: list[Matrix]) -> Matrix:
-    """Stack per-layer matrices into one Matrix with leading L axis."""
+def _stack_matrices(mats: list[Matrix]):
+    """Stack per-layer matrices into one Matrix with leading L axis.
+
+    Mixed storage formats (per-layer quant configs) cannot stack; the
+    per-layer list is returned instead and ``load_model`` switches the
+    whole block stack to per-layer (unrolled-forward) form."""
     kind = mats[0].kind
     shape = mats[0].shape
     if any(m.kind != kind or m.shape != shape for m in mats):
-        raise ValueError(
-            "per-layer quantization formats differ; layer-stacked scan "
-            "requires a uniform format per tensor name"
-        )
+        return mats
     arrays = {k: jnp.stack([m.arrays[k] for m in mats]) for k in mats[0].arrays}
     return Matrix(kind, shape, arrays)
+
+
+def _has_ragged(tree) -> bool:
+    if isinstance(tree, list):
+        return True
+    if isinstance(tree, dict):
+        return any(_has_ragged(v) for v in tree.values())
+    return False
+
+
+def _layer_slice(tree, i):
+    if isinstance(tree, list):
+        return tree[i]
+    if isinstance(tree, dict):
+        return {k: _layer_slice(v, i) for k, v in tree.items()}
+    if isinstance(tree, Matrix):
+        return Matrix(tree.kind, tree.shape, {k: a[i] for k, a in tree.arrays.items()})
+    return tree[i]
+
+
+def _to_per_layer(blocks: dict, L: int) -> list[dict]:
+    """Stacked blocks dict → list of per-layer dicts (for mixed-format
+    quant configs, which run through the unrolled forward)."""
+    return [_layer_slice(blocks, i) for i in range(L)]
 
 
 def load_model(
@@ -342,6 +367,9 @@ def load_model(
             "Wv": mats("blocks.{i}.ffn.value.weight", discounted=True),
         }
 
+    if _has_ragged(blocks):
+        log.info("mixed per-layer quantization: using per-layer (unrolled) form")
+        blocks = _to_per_layer(blocks, L)
     params["blocks"] = blocks
     return info, params
 

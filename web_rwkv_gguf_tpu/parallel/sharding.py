@@ -94,6 +94,11 @@ def _replicate(tree, mesh):
 
 def shard_params(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
     """Place parameters on the mesh per the sharding plan."""
+    if isinstance(params["blocks"], list):
+        raise NotImplementedError(
+            "mixed per-layer quant (unrolled form) does not support "
+            "sharding; use a uniform quant scheme"
+        )
     col = {"Wr", "Wk", "Wv", "Wg"}
     row = {"Wo"}
 
