@@ -104,6 +104,16 @@ def _bench_prefill(info, params, T=256, B=1, runs=5):
 
 
 def main():
+    # watchdog: the TPU tunnel in this environment occasionally stalls for
+    # minutes; fail cleanly rather than hanging the harness
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("device link unresponsive")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(480)
+
     import jax
 
     from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
@@ -132,6 +142,7 @@ def main():
         flush=True,
     )
 
+    signal.alarm(300)  # extras get their own shorter budget
     try:
         q4k_decode8 = _bench_decode(info, params_q, B=8)
         log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
@@ -148,6 +159,8 @@ def main():
         log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
     except Exception as e:  # pragma: no cover
         log(f"[extras skipped: {e}]")
+    finally:
+        signal.alarm(0)
 
 
 if __name__ == "__main__":
