@@ -265,3 +265,27 @@ def test_gen_app_fused(model_file, vocab_file, capsys):
     ])
     out = capsys.readouterr().out
     assert "hi" in out
+
+
+def test_chat_app_scripted(model_file, vocab_file, capsys, monkeypatch):
+    """Drive the chat loop: one message, '+' retry, '-' reset, EOF."""
+    import builtins
+
+    from web_rwkv_gguf_tpu.apps import chat
+
+    lines = iter(["hi there", "+", "-", "bye"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr(builtins, "input", fake_input)
+    chat.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--sampler", "greedy", "--max-tokens", "6",
+    ])
+    out = capsys.readouterr().out
+    assert "Alice:" in out
+    assert "[conversation reset]" in out
