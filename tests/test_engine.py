@@ -219,3 +219,33 @@ def test_engine_fused_generate_v4():
     got = eng.generate([prompt], max_tokens=6, segment=3)[0]
     want = _direct_generate(info, params, prompt, 6)
     assert got == want
+
+
+def test_engine_full_option_across_chunks(model):
+    """FULL output across multiple chunks concatenates to per-position
+    logits of the whole prompt."""
+    info, params = model
+    rng = np.random.default_rng(5)
+    prompt = list(rng.integers(0, info.num_vocab, 40))
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    inp = RnnInput([RnnInputBatch(list(prompt), RnnOption.FULL)], 32)
+    rows = []
+    while inp.num_token:
+        out = eng.infer(inp)
+        if len(out[0]):
+            rows.append(out[0])
+    got = np.concatenate(rows, axis=0)
+    assert got.shape == (40, info.num_vocab)
+
+    state = init_state(info, 1)
+    xs = []
+    pos = 0
+    st = state
+    for seg in (prompt[:32], prompt[32:]):
+        x, st = forward_chunk(
+            info, params, st,
+            jnp.asarray([seg], jnp.int32), jnp.asarray([len(seg)], jnp.int32),
+        )
+        xs.append(np.asarray(x[0, : len(seg)]))
+    want = np.asarray(logits_head(params, jnp.asarray(np.concatenate(xs))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
