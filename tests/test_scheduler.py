@@ -68,3 +68,37 @@ def test_min_chunk_rounding():
     assert run.token_chunk_size == 32
     run = RnnInput([RnnInputBatch([0] * 5)], token_chunk_size=33)
     assert run.token_chunk_size == 64
+
+
+def test_plan_properties_randomized():
+    """Property checks across random workloads: plans conserve tokens,
+    respect the chunk budget and the 32-multiple rule, and assign output
+    options correctly."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n_batch = int(rng.integers(1, 6))
+        lens = [int(rng.integers(0, 90)) for _ in range(n_batch)]
+        opts = [L if rng.random() < 0.7 else F for _ in range(n_batch)]
+        chunk = int(rng.choice([32, 64, 128]))
+        run = RnnInput(
+            [RnnInputBatch([0] * n, o) for n, o in zip(lens, opts)], chunk
+        )
+        total = run.num_token
+        consumed = 0
+        for _ in range(64):
+            if run.num_token == 0:
+                break
+            plan = run.plan()
+            planned = sum(p.len for p in plan)
+            assert planned <= chunk
+            if min(planned, total - consumed) > 32:
+                assert planned % 32 == 0
+            for p, o, n_before in zip(plan, opts, lens):
+                if o == F and p.len > 0:
+                    assert p.option == F
+            run.step(plan)
+            consumed += planned
+        assert consumed == total
+        assert run.num_token == 0
