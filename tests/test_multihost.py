@@ -24,6 +24,7 @@ _WORKER = textwrap.dedent(
         coordinator_address="localhost:12717", num_processes=2,
         process_id=proc_id, local_device_ids=[0, 1],
     )
+    sys.path.insert(0, {repo!r})
     sys.path.insert(0, {repo!r} + "/tests")
     import fixtures
     import numpy as np
