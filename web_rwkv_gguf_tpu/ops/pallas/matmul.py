@@ -2,12 +2,26 @@
 
 One kernel family covers all block-quantized storage kinds (see
 models/matrix.py): per M-tile, the packed codes are DMA'd to VMEM,
-expanded to bf16 on the VPU (shift/mask + per-group FMA against the
-de-interleaved scales), and contracted on the MXU — the dense weight
-matrix is never materialized in HBM, so decode reads ≈ the quantized
-byte count (the "speed-of-light" target the reference chased with its
-WGSL K-quant shaders, ref: src/shaders/matmul_vec_q4k_v2.wgsl, and did
-not reach — see BASELINE.md notes).
+expanded to bf16 (shift/mask + scale), and contracted on the MXU — the
+dense weight matrix is never materialized in HBM, so decode reads ≈ the
+quantized byte count (the "speed-of-light" target the reference chased
+with its WGSL K-quant shaders, ref: src/shaders/matmul_vec_q4k_v2.wgsl,
+and did not reach — see BASELINE.md notes).
+
+Two design points keep the dequant off the VPU's critical path:
+
+* **Scale expansion runs on the MXU.** Broadcasting per-32-group scales
+  across their lane span is a lane-crossing relayout on the VPU (Mosaic
+  lowers it to unrolled slice concats). Instead the kernel computes
+  ``scales[:, gs:ge] @ E`` where ``E[g, j] = (j // gsize == g)`` is a
+  constant 0/1 expansion matrix — one small matmul per K-slab, leaving
+  only mask/shift/cast/multiply per dequantized element.
+* **Group offsets (mins) never expand at all.** The offset term of
+  ``w = q·s − mn`` factors out of the contraction:
+  ``Σ_k mn[m,⌊k/g⌋]·x[k] = Σ_g mn[m,g]·(Σ_{k∈g} x[k])`` — the group
+  sums of ``x`` are one matmul against ``Eᵀ`` and the correction is a
+  tiny ``[N,G]×[G,M]`` matmul, all in f32 (more accurate than the
+  rounded-dense reference path).
 
 The f32 dequant intermediates are the VMEM pressure point, so the kernel
 processes K in slabs (static unrolled loop) and accumulates partial dot
@@ -26,56 +40,44 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import config
 
 # dequant temporaries per K-slab: several i32/f32 copies live at once
-# (unpack, group expansion, dequant, and both halves for "qk"), so keep
+# (unpack, expanded scales, dequant, and both halves for "qk"), so keep
 # block_m·SLAB small enough that ~20 bytes/element stays well under the
 # 16 MB scoped-VMEM limit together with the code/scale blocks
 _MAX_TILE_ELEMS = 131_072
 
 
-def _expand_groups(s: jax.Array, gsize: int) -> jax.Array:
-    """[.., G] → [.., G*gsize] by repeating each group value.
-
-    Mosaic cannot lower ``jnp.repeat`` here (minor-dim reshape), so emit
-    an unrolled lane-slice concat: each group scalar broadcasts over its
-    32/16-lane span.
-    """
-    g = s.shape[-1]
-    parts = [
-        jnp.broadcast_to(s[..., i : i + 1], s.shape[:-1] + (gsize,))
-        for i in range(g)
-    ]
-    return jnp.concatenate(parts, axis=-1)
+def _expand_matrix(gsize: int, width: int, dtype) -> np.ndarray:
+    """[G, width] 0/1 matrix with E[g, j] = (j // gsize == g)."""
+    g = width // gsize
+    e = np.zeros((g, width), dtype)
+    for i in range(g):
+        e[i, i * gsize : (i + 1) * gsize] = 1
+    return e
 
 
-def _dequant_slab(kind, codes, scales, extras, gsize):
-    """Dequantize one [TM, slab] slice of codes to bf16 (f32 arithmetic,
-    rounded once — same rounding as the XLA reference path)."""
-    if codes.dtype == jnp.uint8:
-        q = codes.astype(jnp.int32).astype(jnp.float32)
-    else:
-        q = codes.astype(jnp.float32)
-    if kind == "int8":
-        mn, mx = extras
-        scale = _expand_groups((mx - mn) * (1.0 / 255.0), gsize)
-        off = _expand_groups(mn, gsize)
-        w = q * scale + off
-    elif kind in ("qk", "qk_b"):
-        (mins,) = extras
-        scale = _expand_groups(scales, gsize)
-        w = q * scale - _expand_groups(mins, gsize)
-    else:  # qk_nomin
-        w = q * _expand_groups(scales, gsize)
-    return w.astype(jnp.bfloat16)
+def _dotf32(a, b):
+    """[M, G] f32 × [G, W] f32 → [M, W] f32 on the MXU."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k,
-            slab, extra_refs):
+def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
+            has_offset, offset_sign):
+    refs = list(rest)
+    off_ref = refs.pop(0) if has_offset else None
+    eslab_ref = refs.pop(0)
+    efull_ref = refs.pop(0) if has_offset else None
+    out_ref = refs.pop(0)
+
     x = x_ref[:]  # [N, K] bf16
     acc = None
 
@@ -86,6 +88,15 @@ def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k,
             preferred_element_type=jnp.float32,
         )
 
+    def to_f32(c):
+        if c.dtype == jnp.uint8 or c.dtype == jnp.int8:
+            return c.astype(jnp.int32).astype(jnp.float32)
+        return c.astype(jnp.float32)
+
+    def expand(sc_block, width):
+        # [TM, Gw] f32 @ [Gw, width] f32 → [TM, width] f32 (MXU)
+        return _dotf32(sc_block, eslab_ref[: sc_block.shape[-1], :width])
+
     if kind == "qk":
         # split-halves: code byte j covers elements j and j+K/2
         half = k // 2
@@ -94,26 +105,31 @@ def _kernel(x_ref, codes_ref, scales_ref, out_ref, *, kind, gsize, k,
             ci = codes_ref[:, s:e].astype(jnp.int32)
             gs, ge = s // gsize, e // gsize
             ghs, ghe = (half + s) // gsize, (half + e) // gsize
-            lo = _dequant_slab(
-                kind, ci & 0x0F, scales_ref[:, gs:ge],
-                tuple(r[:, gs:ge] for r in extra_refs), gsize,
-            )
-            hi = _dequant_slab(
-                kind, ci >> 4, scales_ref[:, ghs:ghe],
-                tuple(r[:, ghs:ghe] for r in extra_refs), gsize,
-            )
+            lo = ((ci & 0x0F).astype(jnp.float32)
+                  * expand(scales_ref[:, gs:ge], e - s)).astype(jnp.bfloat16)
+            hi = ((ci >> 4).astype(jnp.float32)
+                  * expand(scales_ref[:, ghs:ghe], e - s)).astype(jnp.bfloat16)
             part = dot(x[:, s:e], lo) + dot(x[:, half + s : half + e], hi)
             acc = part if acc is None else acc + part
     else:
         for s in range(0, k, slab):
             e = min(s + slab, k)
             gs, ge = s // gsize, e // gsize
-            w = _dequant_slab(
-                kind, codes_ref[:, s:e], scales_ref[:, gs:ge],
-                tuple(r[:, gs:ge] for r in extra_refs), gsize,
-            )
+            w = (to_f32(codes_ref[:, s:e])
+                 * expand(scales_ref[:, gs:ge], e - s)).astype(jnp.bfloat16)
             part = dot(x[:, s:e], w)
             acc = part if acc is None else acc + part
+
+    if has_offset:
+        # Σ_g off[m,g]·(Σ_{k∈g} x[k]): group sums via Eᵀ, then one small
+        # f32 matmul — offsets are never expanded across lanes
+        xs = dot(x, efull_ref[:])  # [N, G] f32
+        corr = jax.lax.dot_general(
+            xs, off_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + offset_sign * corr
 
     out_ref[:] = acc
 
@@ -140,24 +156,30 @@ def quant_matmul(
     n = x.shape[0]
     x = x.astype(jnp.bfloat16)
 
+    offset_sign = -1.0
     if kind == "int8":
-        scales = arrays["mn"]  # placeholder slot; extras carry mn/mx
-        extras = (arrays["mn"].astype(jnp.float32), arrays["mx"].astype(jnp.float32))
+        # w = mn + (c/255)·(mx−mn): per-group scale/offset in f32, computed
+        # by XLA outside the kernel (tiny [M, G] arrays, fused into the
+        # surrounding program)
+        mn = arrays["mn"].astype(jnp.float32)
+        scales = (arrays["mx"].astype(jnp.float32) - mn) * (1.0 / 255.0)
+        offsets = mn
+        offset_sign = 1.0
         codes = arrays["codes"]
         kdim = k
     elif kind == "qk":
         scales = arrays["scales"].astype(jnp.float32)
-        extras = (arrays["mins"].astype(jnp.float32),)
+        offsets = arrays["mins"].astype(jnp.float32)
         codes = arrays["codes"]
         kdim = k // 2
     elif kind == "qk_b":
         scales = arrays["scales"].astype(jnp.float32)
-        extras = (arrays["mins"].astype(jnp.float32),)
+        offsets = arrays["mins"].astype(jnp.float32)
         codes = arrays["codes"]
         kdim = k
     else:  # qk_nomin
         scales = arrays["scales"].astype(jnp.float32)
-        extras = ()
+        offsets = None
         codes = arrays["codes"]
         kdim = k
 
@@ -174,14 +196,32 @@ def quant_matmul(
         pl.BlockSpec((block_m, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_m, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    for e in extras:
+    operands = [x, codes, scales]
+    if offsets is not None:
         in_specs.append(
-            pl.BlockSpec((block_m, e.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_m, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
+        operands.append(offsets)
+
+    # constant 0/1 expansion matrices (baked into the executable, resident
+    # in VMEM across grid steps)
+    eslab = jnp.asarray(_expand_matrix(gsize, slab, np.float32))
+    in_specs.append(
+        pl.BlockSpec(eslab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    operands.append(eslab)
+    if offsets is not None:
+        # [G, K] 0/1 in bf16 (exact): contracted against bf16 x with f32
+        # accumulation, so the group sums are exact
+        efull = jnp.asarray(_expand_matrix(gsize, k, np.float32), jnp.bfloat16)
+        in_specs.append(
+            pl.BlockSpec(efull.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(efull)
 
     kernel = functools.partial(
-        _body_dispatch, kind=kind, gsize=gsize, k=k, slab=slab,
-        n_extras=len(extras),
+        _kernel, kind=kind, gsize=gsize, k=k, slab=slab,
+        has_offset=offsets is not None, offset_sign=offset_sign,
     )
     out = pl.pallas_call(
         kernel,
@@ -195,15 +235,5 @@ def quant_matmul(
             bytes_accessed=codes.size + scales.size * 4 + n * k * 2 + n * m * 4,
             transcendentals=0,
         ),
-    )(x, codes, scales, *extras)
+    )(*operands)
     return out
-
-
-def _body_dispatch(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
-                   n_extras):
-    extra_refs = rest[:n_extras]
-    out_ref = rest[n_extras]
-    _kernel(
-        x_ref, codes_ref, scales_ref, out_ref,
-        kind=kind, gsize=gsize, k=k, slab=slab, extra_refs=extra_refs,
-    )
