@@ -43,14 +43,18 @@ def test_wkv7_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
 
 
-def _check_matmul(mat: Matrix, x, rtol=2e-2, atol=2e-2):
+def _check_matmul(mat: Matrix, x, rtol=2e-2):
+    # reference: exact f32 product on bf16-rounded inputs (the kernels keep
+    # scales/offsets in f32, so the bf16-dense product is not ground truth);
+    # atol scaled by |y| covers bf16-contraction cancellation on small outputs
     m, k = mat.shape
     want = np.asarray(
-        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16), mat.dequantize(jnp.bfloat16),
+        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16).astype(jnp.float32),
+                   mat.dequantize(jnp.float32),
                    preferred_element_type=jnp.float32)
     )
     got = np.asarray(quant_matmul(x, mat.kind, mat.arrays, m, k, block_m=64))
-    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * np.abs(want).max())
 
 
 def test_quant_matmul_q4k():
@@ -82,6 +86,45 @@ def test_quant_matmul_int8():
     mat = Matrix.from_f16(w, QuantScheme.INT8)
     x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
     _check_matmul(mat, x)
+
+
+@pytest.mark.parametrize("N", [1, 16])  # 1 → bitcast gemv path, 16 → slab path
+def test_quant_matmul_both_paths(N):
+    rng = np.random.default_rng(9)
+    M, K = 128, 512
+    w = (rng.normal(size=(M, K)) * 0.1).astype(np.float32)
+    raw = np.frombuffer(quantize_q4_k(w.reshape(-1)), np.uint8)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (M, K))
+    x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    _check_matmul(mat, x)
+    raw8 = np.frombuffer(quantize_q8_0(w.reshape(-1)), np.uint8)
+    mat8 = Matrix.from_gguf_blocks(GgmlDType.Q8_0, raw8, (M, K))
+    _check_matmul(mat8, x)
+
+
+def test_quant_matmul_q5k_gemv():
+    """qk_b (byte codes + mins) through the gemv path."""
+    from web_rwkv_gguf_tpu.quant import ggml as G
+
+    rng = np.random.default_rng(10)
+    M, K = 8, 512
+    n_blocks = M * K // G.GGML_BLOCK_SIZES[GgmlDType.Q5_K]
+    raw = bytearray(rng.integers(0, 256, n_blocks * 176, dtype=np.uint8).tobytes())
+    for b in range(n_blocks):
+        for off in (0, 2):
+            raw[b * 176 + off : b * 176 + off + 2] = np.float16(
+                rng.uniform(0.001, 0.05)
+            ).tobytes()
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q5_K, bytes(raw), (M, K))
+    assert mat.kind == "qk_b"
+    x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
+    y_got = np.asarray(quant_matmul(x, mat.kind, mat.arrays, M, K))
+    y_want = np.asarray(
+        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16).astype(jnp.float32),
+                   mat.dequantize(jnp.float32), preferred_element_type=jnp.float32)
+    )
+    tol = 2e-2 * np.abs(y_want).max()
+    np.testing.assert_allclose(y_got, y_want, rtol=2e-2, atol=tol)
 
 
 def test_q4k_repack_dequant_matches_block_dequant():
@@ -223,12 +266,15 @@ def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
     got = np.asarray(mat.dequantize(jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
-    # and the fused kernel agrees (interpret mode)
+    # and the fused kernel agrees (interpret mode); reference is the exact
+    # f32 product on bf16-rounded inputs — the kernels keep scales in f32,
+    # so the rounded-bf16-dense product is NOT the ground truth
     x = jnp.asarray(rng.normal(size=(2, K)).astype(np.float32))
     y_got = np.asarray(quant_matmul(x, mat.kind, mat.arrays, M, K, block_m=8))
     y_want = np.asarray(
-        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16),
-                   mat.dequantize(jnp.bfloat16),
+        jnp.einsum("nk,mk->nm", x.astype(jnp.bfloat16).astype(jnp.float32),
+                   mat.dequantize(jnp.float32),
                    preferred_element_type=jnp.float32)
     )
-    np.testing.assert_allclose(y_got, y_want, rtol=5e-2, atol=5e-2)
+    tol = 2e-2 * np.abs(y_want).max()
+    np.testing.assert_allclose(y_got, y_want, rtol=2e-2, atol=tol)

@@ -25,6 +25,33 @@ from ..quant.ggml import GgmlDType
 from ..quant import formats as qf
 
 
+def _gemv_scale_arrays(m: int, k: int, scales, mins) -> dict:
+    """Precomputed transposed position-ordered scale operands for the
+    Pallas decode gemv (ops/pallas/matmul.py::_quant_gemv).
+
+    The gemv kernel's bitcast unpack interleaves rows within each M-tile
+    (position tile·BM + b·BM/4 + s ↔ logical row tile·BM + 4s + b); its
+    scale operands must be [G, M] in that position order. Building them at
+    load time keeps the (large) transpose out of callers' decode loops,
+    where XLA fails to hoist it.
+    """
+    from ..ops.pallas.matmul import _gemv_block_m
+
+    bm = _gemv_block_m(m)
+    if bm is None:
+        return {}
+    g = scales.shape[-1]
+
+    def to_pos(a):
+        a = np.asarray(a, np.float32).reshape(m // bm, bm // 4, 4, g)
+        return np.ascontiguousarray(a.transpose(3, 0, 2, 1).reshape(g, m))
+
+    out = {"st": jnp.asarray(to_pos(scales))}
+    if mins is not None:
+        out["mnt"] = jnp.asarray(to_pos(mins))
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Matrix:
@@ -64,13 +91,16 @@ class Matrix:
         if scheme == qf.QuantScheme.INT8:
             codes, mn, mx = qf.quantize_int8(np.asarray(w, np.float32))
             g = qf.INT8_BLOCK_SIZE
+            mn2 = mn.astype(np.float32).reshape(m, k // g)
+            mx2 = mx.astype(np.float32).reshape(m, k // g)
             return cls(
                 "int8",
                 (m, k),
                 {
                     "codes": jnp.asarray(codes.reshape(m, k)),
-                    "mn": jnp.asarray(mn.astype(np.float32).reshape(m, k // g)),
-                    "mx": jnp.asarray(mx.astype(np.float32).reshape(m, k // g)),
+                    "mn": jnp.asarray(mn2),
+                    "mx": jnp.asarray(mx2),
+                    **_gemv_scale_arrays(m, k, (mx2 - mn2) / 255.0, mn2),
                 },
             )
         if scheme in (qf.QuantScheme.NF4, qf.QuantScheme.SF4):
@@ -109,6 +139,7 @@ class Matrix:
                     "codes": jnp.asarray(codes),
                     "scales": jnp.asarray(scales),
                     "mins": jnp.asarray(mins),
+                    **_gemv_scale_arrays(m, k, scales, mins),
                 },
             )
         if dtype == GgmlDType.Q5_K:
@@ -120,6 +151,7 @@ class Matrix:
                     "codes": jnp.asarray(codes),
                     "scales": jnp.asarray(scales),
                     "mins": jnp.asarray(mins),
+                    **_gemv_scale_arrays(m, k, scales, mins),
                 },
             )
         if dtype == GgmlDType.Q6_K:
@@ -127,21 +159,24 @@ class Matrix:
             return cls(
                 "qk_nomin",
                 (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                 **_gemv_scale_arrays(m, k, scales, None)},
             )
         if dtype == GgmlDType.Q8_0:
             codes, scales = repack.repack_q8_0(raw, m, k)
             return cls(
                 "qk_nomin",
                 (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                 **_gemv_scale_arrays(m, k, scales, None)},
             )
         if dtype == GgmlDType.Q4_0:
             codes, scales = repack.repack_q4_0(raw, m, k)
             return cls(
                 "qk_nomin",
                 (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales)},
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                 **_gemv_scale_arrays(m, k, scales, None)},
             )
         raise ValueError(f"no direct-quantized repack for {dtype!r}")
 

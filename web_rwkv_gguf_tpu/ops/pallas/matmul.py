@@ -134,6 +134,176 @@ def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
     out_ref[:] = acc
 
 
+# ---------------------------------------------------------------------------
+# decode gemv: bitcast-packed unpack, grouped partials on the MXU
+# ---------------------------------------------------------------------------
+#
+# The slab kernel above widens u8 codes to i32 lanes before dequantizing —
+# a sublane-unpack relayout that caps it at ~¼ of HBM speed for small N.
+# For gemv-shaped calls this kernel instead REINTERPRETS the code block:
+# `pltpu.bitcast(u8[BM, K], i32)` packs rows 4s..4s+3 into one i32 lane
+# (row 4s+b at bits 8b, little-endian — verified identical on hw and in
+# interpret mode), so nibble/byte extraction is pure lane-local ALU with
+# no relayout. The extracted planes are contracted on the MXU against
+# per-group masked copies of x (output width N·G ≤ 128 is free for a
+# gemv), giving per-group partial sums; per-32-group scales then apply as
+# a [G, BM/4] multiply + sublane reduction — never expanded across K.
+# Group offsets (mins) factor out exactly as in the slab kernel. Runs at
+# the DMA floor (~3x the slab kernel) on the decode path.
+#
+# The kernel's natural output order interleaves rows (position
+# tile·BM + b·BM/4 + s holds logical row tile·BM + 4s + b); one cheap
+# XLA reshape/transpose outside restores logical order, and the scale
+# operands are pre-permuted into position order at trace time (they are
+# loop-invariant in a decode scan, so XLA hoists the permutation).
+
+
+def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
+                 offset_sign, signed_codes):
+    refs = list(rest)
+    mnt_ref = refs.pop(0) if has_offset else None
+    sxt_ref = refs.pop(0) if has_offset else None
+    if kind == "qk":
+        xlo_ref, xhi_ref = refs.pop(0), refs.pop(0)
+    else:
+        x_ref = refs.pop(0)
+    out_ref = refs.pop(0)
+
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [BM/4, kdim]
+    q = bm // 4
+
+    def dot(xm, part):
+        return jax.lax.dot_general(
+            xm, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for b in range(4):
+        if kind == "qk":
+            lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            plo = dot(xlo_ref[:], lo)  # [N*Gh, BM/4]
+            phi = dot(xhi_ref[:], hi)
+        else:
+            if signed_codes:
+                byte = (w << (8 * (3 - b))) >> 24  # arithmetic: sign-extends
+            else:
+                byte = (w >> (8 * b)) & 0xFF
+            p_all = dot(x_ref[:], byte.astype(jnp.float32).astype(jnp.bfloat16))
+
+        sblk = st_ref[:, b * q : (b + 1) * q]  # [G, BM/4]
+        mnblk = mnt_ref[:, b * q : (b + 1) * q] if has_offset else None
+        for nn in range(n):
+            if kind == "qk":
+                p = jnp.concatenate(
+                    [plo[nn * gh : (nn + 1) * gh], phi[nn * gh : (nn + 1) * gh]],
+                    axis=0,
+                )  # [G, BM/4]
+            else:
+                p = p_all[nn * g : (nn + 1) * g]
+            y = jnp.sum(p * sblk, axis=0, keepdims=True)  # [1, BM/4]
+            if has_offset:
+                sx = sxt_ref[:, nn : nn + 1]  # [G, 1]
+                y = y + offset_sign * jnp.sum(mnblk * sx, axis=0, keepdims=True)
+            out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
+
+
+def _gemv_block_m(m: int) -> int | None:
+    # Mosaic block rule: the out block's lane dim (BM/4) must be a multiple
+    # of 128 OR the block must span the whole array — so tile at 512 when
+    # possible, else take the whole matrix as a single block (VMEM budget
+    # enforced by the caller)
+    if m % 512 == 0:
+        return 512
+    if m % 8 == 0 and m <= 4096:
+        return m
+    return None
+
+
+def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
+                gsize, pre_st=None, pre_mnt=None) -> jax.Array:
+    n = x.shape[0]
+    g = k // gsize
+    bm = _gemv_block_m(m)
+    # scale operands in transposed position order. Prefer the precomputed
+    # forms stored at load time (models/matrix.py stores "st"/"mnt"):
+    # computing the transpose here puts a 2·M·G·4-byte copy INSIDE the
+    # caller's decode loop — XLA's loop-invariant code motion runs before
+    # layout assignment introduces the transpose copies, so they are NOT
+    # hoisted and cost ~2/3 of the head matmul time per token.
+    def to_pos(a):  # [M, G] → [G, M] position-ordered
+        return (
+            a.astype(jnp.float32)
+            .reshape(m // bm, bm // 4, 4, g)
+            .transpose(3, 0, 2, 1)
+            .reshape(g, m)
+        )
+
+    st = pre_st if pre_st is not None else to_pos(scales)
+    operands = [codes, st]
+    in_specs = [
+        pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    has_offset = offsets is not None
+    if has_offset:
+        mnt = pre_mnt if pre_mnt is not None else to_pos(offsets)
+        # true per-group sums of x (exact, f32)
+        sxt = x.astype(jnp.float32).reshape(n, g, gsize).sum(-1).T  # [G, N]
+        operands += [mnt, sxt]
+        in_specs += [
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    xb = x.astype(jnp.bfloat16)
+    gh = g // 2
+    if kind == "qk":
+        half = k // 2
+        e = jnp.asarray(_expand_matrix(gsize, half, np.float32), jnp.bfloat16)
+        xlo = (xb[:, None, :half] * e[None]).reshape(n * gh, half)
+        xhi = (xb[:, None, half:] * e[None]).reshape(n * gh, half)
+        operands += [xlo, xhi]
+        in_specs += [
+            pl.BlockSpec((n * gh, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * gh, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        e = jnp.asarray(_expand_matrix(gsize, k, np.float32), jnp.bfloat16)
+        xm = (xb[:, None, :] * e[None]).reshape(n * g, k)
+        operands.append(xm)
+        in_specs.append(
+            pl.BlockSpec((n * g, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _gemv_kernel, kind=kind, n=n, g=g, gh=gh, bm=bm,
+        has_offset=has_offset, offset_sign=offset_sign,
+        signed_codes=codes.dtype == jnp.int8,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (4 * n, bm // 4), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4 * n, m // 4), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * k,
+            bytes_accessed=codes.size + scales.size * 4 + n * k * 2 + n * m * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+    # undo the position interleave: out[n*4+b, tile*(BM/4)+s] -> y[n, tile*BM+4s+b]
+    return (
+        out.reshape(n, 4, m // bm, bm // 4)
+        .transpose(0, 2, 3, 1)
+        .reshape(n, m)
+    )
+
+
 def _pick_slab(block_m: int, k: int, gsize: int) -> int:
     """Largest K-slab (multiple of lcm(gsize, 128)) within the VMEM budget."""
     step = gsize
@@ -185,6 +355,24 @@ def quant_matmul(
 
     g = scales.shape[-1]
     gsize = k // g
+
+    # gemv-shaped calls take the bitcast kernel (see note above): small N,
+    # a usable M tiling, group-aligned halves, and VMEM-sized operands
+    if (
+        n <= 8
+        and _gemv_block_m(m) is not None
+        and (kind != "qk" or g % 2 == 0)
+        and _gemv_block_m(m) * kdim <= (2 << 20)
+        and n * g * kdim * 2 <= (4 << 20)
+    ):
+        pre_st = arrays.get("st")
+        pre_mnt = arrays.get("mnt")
+        if pre_st is not None and pre_st.shape != (g, m):
+            pre_st = pre_mnt = None  # e.g. re-tiled after a shard slice
+        return _quant_gemv(
+            x, kind, codes, scales, offsets, offset_sign, m, k, kdim, gsize,
+            pre_st=pre_st, pre_mnt=pre_mnt,
+        )
 
     while m % block_m:
         block_m //= 2

@@ -66,6 +66,12 @@ def _shard_matrix(m: Matrix, mesh: Mesh, dim: str) -> Matrix:
     dim. Arrays are [L, M, ...K-structured...]. Falls back to replication
     when a quantization-group dim is not divisible by the model axis."""
     n_model = mesh.shape["model"]
+    # drop the precomputed gemv scale operands (position-ordered [G, M]
+    # transposes, see models/matrix.py::_gemv_scale_arrays): their layout
+    # assumptions do not compose with resharding, and the Pallas gemv falls
+    # back to deriving them at trace time when absent
+    arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
+    m = Matrix(m.kind, m.shape, arrays)
     specs = {}
     for k, a in m.arrays.items():
         if k == "lut":
