@@ -127,8 +127,11 @@ def main():
 
     log(f"device: {jax.devices()[0]}")
 
+    from web_rwkv_gguf_tpu.models import unroll_params
+
     log("building Q4_K_M model (synthetic 0.1B)...")
     info, params_q = synthetic_v7_params(quant="q4k")
+    params_q = unroll_params(params_q)  # per-layer buffers: no scan-slice copies
     log(f"model: RWKV-7 L={info.num_layer} C={info.num_emb} H={info.num_head} "
         f"V={info.num_vocab} hidden={info.num_hidden}")
 
@@ -160,6 +163,7 @@ def main():
         del params_q
 
         info, params_d = synthetic_v7_params()
+        params_d = unroll_params(params_d)
         bf16_decode = _bench_decode(info, params_d)
         log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
         bf16_prefill = _bench_prefill(info, params_d)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,6 +150,30 @@ def _stack_matrices(mats: list[Matrix]):
         return mats
     arrays = {k: jnp.stack([m.arrays[k] for m in mats]) for k in mats[0].arrays}
     return Matrix(kind, shape, arrays)
+
+
+def unroll_params(params: dict) -> dict:
+    """Convert stacked ``[L, ...]`` blocks to per-layer list form.
+
+    ``forward_chunk`` runs list-form blocks as an unrolled trace, which
+    binds each layer's weights as separate device buffers. For
+    single-token decode this removes the ``lax.scan`` dynamic-slice copy
+    of every layer's weights per step (measured 1.6x faster decode on the
+    0.1B config, 690 -> 433 us/token); prefill runtime is unchanged.
+    Compile time grows with depth, and sharded (mesh) runs require the
+    stacked form. No-op if the blocks are already a list.
+    """
+    blocks = params["blocks"]
+    if isinstance(blocks, list):
+        return params
+    leaves = jax.tree.leaves(blocks)
+    num_layer = leaves[0].shape[0]
+    out = dict(params)
+    # eager slicing materializes one device buffer per layer (no host trip)
+    out["blocks"] = [
+        jax.tree.map(lambda a: a[i], blocks) for i in range(num_layer)
+    ]
+    return out
 
 
 def _has_ragged(tree) -> bool:

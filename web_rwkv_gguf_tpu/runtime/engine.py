@@ -74,8 +74,19 @@ class Engine:
         rescale: int | None = None,
         initial_wkv: np.ndarray | None = None,
         mesh=None,
+        unroll: bool | None = None,
     ):
         self.info = info
+        # per-layer (unrolled) weight buffers avoid the lax.scan
+        # dynamic-slice copy of every layer's weights per decode step
+        # (models/loader.py::unroll_params); default on for single-device
+        # engines, off under a mesh (sharding needs the stacked form)
+        if unroll is None:
+            unroll = mesh is None
+        if unroll and mesh is None and not isinstance(params.get("blocks"), list):
+            from ..models.loader import unroll_params
+
+            params = unroll_params(params)
         self.params = params
         self.num_batch = num_batch
         self.token_chunk_size = token_chunk_size
