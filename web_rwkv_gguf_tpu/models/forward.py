@@ -108,11 +108,12 @@ def _use_pallas() -> bool:
 
 
 # prefill chunks at/above this length use the chunk-parallel (MXU)
-# formulation; below it the sequential scan wins (measured on v5e-class
-# hw: seq faster up to T=256 even at batch 8, chunked ~7% faster at
-# T=1024 single-stream; devices with higher MXU:VPU ratios favor lower
-# thresholds)
-WKV7_CHUNKED_MIN_T = 512
+# formulation; below it the sequential scan wins. Measured on v5e-class
+# hw with host-fetch-synced timing (block_until_ready is unreliable over
+# this environment's tunnel): chunked wins from T=128 (0.80x for v7,
+# ~even for v6) and stays ahead through T=1024; at T<=64 the paths are
+# even, and v6 seq wins at T=32.
+WKV7_CHUNKED_MIN_T = 128
 
 
 def _wkv7(state, r, w, k, v, a, b, mask):
