@@ -289,3 +289,53 @@ def test_chat_app_scripted(model_file, vocab_file, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "Alice:" in out
     assert "[conversation reset]" in out
+
+
+def test_othello_app(model_file, vocab_file, capsys):
+    """Game demo: hook-modified v7 forward (a*=2, a<-act_w(w)*a) drives a
+    greedy move loop (ref: examples/othello/main.rs)."""
+    from web_rwkv_gguf_tpu.apps import othello
+
+    othello.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--prompt", "NEXT", "--max-tokens", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "NEXT" in out
+
+
+def test_puzzle15_app(vocab_file, tmp_path, capsys):
+    """Game demo: hook-modified v6 forward (k <- exp(min(w,0))*k) drives a
+    greedy move loop (ref: examples/puzzle15/main.rs)."""
+    from web_rwkv_gguf_tpu.apps import puzzle15
+
+    path = tmp_path / "tiny_v6.gguf"
+    path.write_bytes(
+        fixtures.make_v6_gguf(n_layer=2, n_emb=32, head_size=8, n_vocab=300)
+    )
+    puzzle15.main([
+        "--model", str(path), "--vocab", vocab_file,
+        "--prompt", "board", "--max-tokens", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "board" in out
+
+
+def test_game_hooks_change_output(model_file):
+    """The othello hooks must actually alter the forward (the hook path is
+    a real structural modification, not a no-op)."""
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model
+    from web_rwkv_gguf_tpu.apps.othello import make_othello_hooks
+
+    info, params = load_model(GgufFile(model_file))
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    x0, _ = forward_chunk(info, params, init_state(info, 1), tokens, lens)
+    x1, _ = forward_chunk(
+        info, params, init_state(info, 1), tokens, lens,
+        hooks=make_othello_hooks(info.num_layer),
+    )
+    assert float(jnp.abs(x0 - x1).max()) > 1e-6

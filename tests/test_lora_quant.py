@@ -133,3 +133,41 @@ def test_time_state_import():
             for v in range(hs):
                 for k in range(hs):
                     assert wkv[i, h, k, v] == states[i][h * hs + v, k]
+
+
+def test_rescale_discount_identity():
+    """rescale loading (weights pre-discounted by 2^-(L//r), residual
+    halved every r layers) is identity math: outputs must match the plain
+    load (ref: loader.rs:923-951 load_matrix_discount + v7.rs:1002-1004)."""
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model
+
+    raw = fixtures.make_v7_gguf(n_layer=4, n_emb=32, head_size=8, n_vocab=64)
+    info, params = load_model(GgufFile(raw), dtype=jnp.float32)
+    info2, params2 = load_model(GgufFile(raw), dtype=jnp.float32, rescale=2)
+
+    tokens = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    x0, _ = forward_chunk(info, params, init_state(info, 1), tokens, lens)
+    x1, _ = forward_chunk(
+        info2, params2, init_state(info2, 1), tokens, lens, rescale=2
+    )
+    # x1 is the rescaled residual: undo the final scale for comparison
+    scale = 2.0 ** (info.num_layer // 2)
+    np.testing.assert_allclose(
+        np.asarray(x1) * scale, np.asarray(x0), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_matrix_statistics():
+    """Quantile summary parity (ref: src/tensor/matrix.rs MatrixStatistics)."""
+    from web_rwkv_gguf_tpu.quant.formats import matrix_statistics
+
+    v = np.arange(1001, dtype=np.float32)
+    s = matrix_statistics(v)
+    assert s["min"] == 0.0 and s["max"] == 1000.0
+    assert s["q_50"] == 500.0
+    assert s["q_005"] == 5.0 and s["q_995"] == 995.0
+    assert s["q_25"] == 250.0 and s["q_75"] == 750.0

@@ -78,7 +78,8 @@ class HookCtx:
     ``post_att_value_residual``, ``post_att_time_mix``, ``post_att_gate``,
     ``post_att``, ``pre_ffn``, ``post_ffn_layer_norm``,
     ``post_ffn_activate``, ``post_ffn``, plus ``post_embed`` /
-    ``pre_head`` at the model level. Using hooks switches the layer stack
+    ``pre_head`` at the model level, and ``pre_att_decay_activate``
+    (V6, raw decay + k — the reference's PreAttTimeDecayActivate). Using hooks switches the layer stack
     from ``lax.scan`` to an unrolled trace (taps are resolved at trace
     time, like the reference builds them into the op graph).
     """
@@ -311,6 +312,11 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     w_raw = jnp.einsum(
         "btd,cd->btc", dz, att["td_w2"], preferred_element_type=jnp.float32
     ) + att["time_decay"][None, None]
+    # raw (pre-StableExp) decay and k exposed for hooks (the reference's
+    # puzzle15 example does k <- exp(min(w,0))*k at
+    # Hook::PreAttTimeDecayActivate, examples/puzzle15/main.rs:114-116)
+    t = hk("pre_att_decay_activate", w=w_raw, k=k)
+    w_raw, k = t["w"], t["k"]
     w = _heads(B.stable_exp(w_raw), H)
 
     y, wkv = _wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
@@ -360,8 +366,11 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
 
     kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
     k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])  # ref: control_k_v7.wgsl:73
-    t = hk("post_att_control", k=k, kk=kk)
-    k, kk = t["k"], t["kk"]
+    # ``a`` and raw ``w`` are exposed here so hooks can modify the WKV
+    # b-term after k-control (the reference's othello example does
+    # a <- act_w(w)*a at Hook::PostAttControl, examples/othello/main.rs:113)
+    t = hk("post_att_control", k=k, kk=kk, a=a, w=w_in)
+    k, kk, a = t["k"], t["kk"], t["a"]
 
     # value residual from layer 0 (ref: v7.rs:895-921)
     v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))

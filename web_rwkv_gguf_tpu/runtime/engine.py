@@ -75,6 +75,7 @@ class Engine:
         initial_wkv: np.ndarray | None = None,
         mesh=None,
         unroll: bool | None = None,
+        hooks: dict | None = None,
     ):
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
@@ -104,14 +105,19 @@ class Engine:
             ).astype(jnp.float32)
         self._initial_wkv = initial_wkv
 
+        # optional model-structure hooks compiled into every forward (the
+        # reference's Bundle::new_with_hooks, used by the othello/puzzle15
+        # game examples); hooks bind at trace time, so they cost nothing
+        # when absent
+        self._hooks = hooks
         self._forward = jax.jit(
-            functools.partial(forward_chunk, info, rescale=rescale),
+            functools.partial(forward_chunk, info, rescale=rescale, hooks=hooks),
             donate_argnums=(1,),
         )
         self._forward_embeds = jax.jit(
             lambda params, state, embeds, lengths: forward_chunk(
                 info, params, state, None, lengths,
-                rescale=rescale, input_embeds=embeds,
+                rescale=rescale, input_embeds=embeds, hooks=hooks,
             ),
             donate_argnums=(1,),
         )
@@ -120,7 +126,8 @@ class Engine:
         # the forward AND each lane's last-token logits
         def _fwd_last(params, state, tokens, lengths):
             x, state = forward_chunk(
-                info, params, state, tokens, lengths, rescale=rescale
+                info, params, state, tokens, lengths, rescale=rescale,
+                hooks=hooks,
             )
             B, T = tokens.shape
             idx = jnp.clip(lengths - 1, 0, T - 1)
