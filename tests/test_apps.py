@@ -339,3 +339,26 @@ def test_game_hooks_change_output(model_file):
         hooks=make_othello_hooks(info.num_layer),
     )
     assert float(jnp.abs(x0 - x1).max()) > 1e-6
+
+
+def test_bench_format_app(model_file, capsys):
+    """bench_format smoke: ST-vs-GGUF comparison table with real sync
+    (ref: examples/bench_format.rs)."""
+    from web_rwkv_gguf_tpu.apps import bench_format
+
+    bench_format.main([
+        model_file, "--prefill-tokens", "32", "--gen-tokens", "8",
+        "--warmup", "1", "--runs", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "load" in out.lower() or "prefill" in out.lower()
+
+
+def test_bench_kernels_app(capsys):
+    """bench_kernels smoke (ref: examples/bench_q4k_shaders.rs)."""
+    from web_rwkv_gguf_tpu.apps import bench_kernels
+
+    bench_kernels.main(["--m", "64", "--k", "128", "--n", "2",
+                        "--warmup", "1", "--runs", "2"])
+    out = capsys.readouterr().out
+    assert "q4_k" in out

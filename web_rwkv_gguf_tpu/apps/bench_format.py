@@ -13,6 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from . import common
+from ..utils.trace import device_sync
 
 
 def _rss_mb():
@@ -52,24 +53,24 @@ def bench_one(path, args):
     # warmup
     for _ in range(args.warmup):
         x, st = fwd(params, init_state(info, B), tokens, lens)
-        x.block_until_ready()
+        device_sync(x)
     ts = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         x, st = fwd(params, init_state(info, B), tokens, lens)
-        x.block_until_ready()
+        device_sync(x)
         ts.append(time.perf_counter() - t0)
     prefill_tps = T / np.median(ts)
 
     tok = jnp.zeros((B, 1), jnp.int32)
     tok, st = step(params, st, tok)
-    tok.block_until_ready()
+    device_sync(tok)
     ts = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         for _ in range(args.gen_tokens):
             tok, st = step(params, st, tok)
-        tok.block_until_ready()
+        device_sync(tok)
         ts.append(time.perf_counter() - t0)
     gen_tps = args.gen_tokens / np.median(ts)
     return {

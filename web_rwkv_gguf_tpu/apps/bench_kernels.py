@@ -24,8 +24,8 @@ def main(argv=None):
 
     from ..models.matrix import Matrix
     from ..quant.formats import QuantScheme
+    from ..utils.trace import device_sync
     from ..quant.ggml import GgmlDType, quantize_q4_k, quantize_q8_0
-    from ..ops.pallas.matmul import quant_matmul
 
     M, K = args.m, args.k
     rng = np.random.default_rng(0)
@@ -53,20 +53,20 @@ def main(argv=None):
             )
             call = lambda x: fn(x, mat.arrays["w"])
         else:
-            arrays = {k: jnp.asarray(v) for k, v in mat.arrays.items()}
-            fn = jax.jit(
-                lambda x, arrays: quant_matmul(x, mat.kind, arrays, M, K)
-            )
-            call = lambda x: fn(x, arrays)
+            # Matrix.matmul dispatches to the Pallas kernels on TPU and the
+            # XLA fallback elsewhere (so this bench runs on any backend)
+            mat_dev = jax.tree.map(jnp.asarray, mat)
+            fn = jax.jit(lambda x, mt: mt.matmul(x))
+            call = lambda x: fn(x, mat_dev)
         for N in args.n or [1, 8, 64, 256]:
             x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32), jnp.bfloat16)
-            call(x).block_until_ready()
+            device_sync(call(x))
             for _ in range(args.warmup):
                 call(x)
-            _ = call(x).block_until_ready()
+            device_sync(call(x))
             t0 = time.perf_counter()
             outs = [call(x) for _ in range(args.runs)]
-            outs[-1].block_until_ready()
+            device_sync(outs[-1])
             dt = (time.perf_counter() - t0) / args.runs
             gflops = 2 * N * M * K / dt / 1e9
             print(f"{name:12} {N:4d} {dt*1e6:9.1f} {gflops:9.1f} {wbytes:9d}")

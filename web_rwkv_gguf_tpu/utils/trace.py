@@ -53,3 +53,20 @@ def annotate(name: str):
         return wrapped
 
     return deco
+
+
+def device_sync(tree):
+    """Wait until a computation has REALLY executed by fetching a tiny
+    slice of one of its outputs to the host.
+
+    ``block_until_ready`` is the idiomatic sync, but some device
+    transports (e.g. tunneled devices) acknowledge readiness before
+    execution completes, which silently turns timing loops into
+    dispatch-latency measurements. A data fetch cannot be acknowledged
+    early; fetching a handful of elements keeps the transfer cost
+    negligible on every backend. Use this in all timing code.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    return np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
