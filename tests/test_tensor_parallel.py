@@ -1,0 +1,78 @@
+"""shard_map tensor-parallel forward (parallel/tensor.py) vs the
+single-device forward on a virtual CPU mesh.
+
+Unlike the GSPMD path (test_sharding.py), the shard_map path computes
+with LOCAL shapes and explicit collectives — the design that keeps the
+Pallas kernels usable per-device on real multi-chip TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fixtures
+
+from web_rwkv_gguf_tpu.gguf import GgufFile
+from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model, logits_head
+from web_rwkv_gguf_tpu.parallel import make_mesh, shard_state
+from web_rwkv_gguf_tpu.parallel.tensor import make_tp_forward, shard_params_tp
+
+
+def _model(quantize=None):
+    raw = fixtures.make_v7_gguf(
+        n_layer=3, n_emb=64, head_size=8, n_vocab=128, n_hidden=256,
+        quantize=quantize,
+    )
+    return load_model(GgufFile(raw), dtype=jnp.float32)
+
+
+def _reference(info, params, tokens, lens):
+    x, st = forward_chunk(info, params, init_state(info, len(lens)), tokens, lens)
+    idx = np.clip(np.asarray(lens) - 1, 0, tokens.shape[1] - 1)
+    rows = x[jnp.arange(tokens.shape[0]), jnp.asarray(idx)]
+    return np.asarray(logits_head(params, rows)), st
+
+
+@pytest.mark.parametrize("quantize", [None, "q4k"])
+def test_tp_forward_matches_single(quantize):
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    q = GgmlDType.Q4_K if quantize == "q4k" else None
+    info, params = _model(q)
+    B = 4
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(1, 100, (B, 6)), jnp.int32
+    )
+    lens = jnp.asarray([6, 4, 6, 3], jnp.int32)
+    want, want_state = _reference(info, params, tokens, lens)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params_tp(params, mesh, info)
+    fwd = make_tp_forward(info, mesh, sp)
+    state = shard_state(init_state(info, B), mesh)
+    got, got_state = fwd(sp, state, tokens, lens)
+
+    tol = 2e-5 if quantize is None else 2e-4
+    np.testing.assert_allclose(np.asarray(got), want, rtol=tol, atol=tol)
+    for k in want_state:
+        w = np.asarray(want_state[k])
+        # local-vs-global einsum shapes reassociate f32 reductions, and the
+        # delta-rule state amplifies those input-level deltas — compare the
+        # state at reassociation-noise tolerance (logits above stay tight)
+        np.testing.assert_allclose(
+            np.asarray(got_state[k]), w,
+            rtol=1e-2, atol=1e-3 * max(1.0, np.abs(w).max()), err_msg=k,
+        )
+
+
+def test_tp_forward_v7_only_gate():
+    import dataclasses
+
+    from web_rwkv_gguf_tpu.models.info import ModelVersion
+
+    info, params = _model()
+    mesh = make_mesh(1, 8)
+    info_v6 = dataclasses.replace(info, version=ModelVersion.V6)
+    with pytest.raises(NotImplementedError):
+        make_tp_forward(info_v6, mesh, params)

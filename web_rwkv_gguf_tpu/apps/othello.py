@@ -49,8 +49,6 @@ STOP_TOKENS = (0, 59)  # ref: examples/othello/main.rs:190
 
 def make_othello_hooks(num_layer: int) -> dict:
     """The two per-layer modifications (see module docstring)."""
-    import jax.numpy as jnp
-
     from ..ops.wkv import wkv7_act_w
 
     def post_att_adapt(layer, *, w, a, g):

@@ -193,6 +193,15 @@ def _ffn_v4(ffn, x, shift, mask, lengths):
     return out, new_shift
 
 
+def _v_width(blocks) -> int:
+    """Output width of the value projection — equals C single-device, or
+    the local shard width under tensor parallelism (the value-residual
+    carry v0 must match v's local width)."""
+    att = blocks[0]["att"] if isinstance(blocks, list) else blocks["att"]
+    wv = att["Wv"]
+    return wv.dims()[0] if hasattr(wv, "dims") else wv.shape[-2]
+
+
 def _heads(x, H):
     return x.reshape(x.shape[0], x.shape[1], H, -1)
 
@@ -491,7 +500,7 @@ def forward_chunk(
     if hooks is not None:
         x = HookCtx(hooks, -1)("post_embed", x=x)["x"]
         new_states = []
-        v0 = jnp.zeros_like(x)
+        v0 = jnp.zeros(x.shape[:-1] + (_v_width(blocks),), x.dtype)
         for i in range(L):
             if isinstance(blocks, list):
                 blk = blocks[i]
@@ -527,7 +536,7 @@ def forward_chunk(
                 x = jnp.where((idx + 1) % rescale == 0, x * 0.5, x)
             return (x, v0), new
 
-        v0_init = jnp.zeros_like(x)
+        v0_init = jnp.zeros(x.shape[:-1] + (_v_width(blocks),), x.dtype)
         (x, _), new_state = jax.lax.scan(body, (x, v0_init), (blocks, state, layer_ids))
         return x, new_state
 

@@ -182,13 +182,29 @@ class Matrix:
 
     # -- compute -----------------------------------------------------------
 
+    def dims(self) -> tuple[int, int]:
+        """Logical (M, K) derived from the array shapes.
+
+        ``self.shape`` records the shape at construction, which is the
+        GLOBAL shape — inside a ``shard_map`` the arrays are per-device
+        shards, so compute paths must use these derived local dims.
+        """
+        a = self.arrays
+        if self.kind == "dense":
+            return tuple(a["w"].shape[-2:])
+        m, kc = a["codes"].shape[-2:]
+        if self.kind in ("qk", "nf4"):  # nibble-packed: 2 elements/byte
+            return (m, kc * 2)
+        return (m, kc)
+
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """Materialize the dense [..., M, K] weight matrix."""
         a = self.arrays
         if self.kind == "dense":
             return a["w"].astype(dtype)
+        K = self.dims()[1]
         if self.kind == "int8":
-            g = self.shape[1] // a["mn"].shape[-1]
+            g = K // a["mn"].shape[-1]
             x = a["codes"].astype(jnp.float32) / 255.0
             mn = jnp.repeat(a["mn"], g, axis=-1)
             mx = jnp.repeat(a["mx"], g, axis=-1)
@@ -200,8 +216,8 @@ class Matrix:
                 lut = lut[0]
             lo = lut[(codes & 0x0F).astype(jnp.int32)]
             hi = lut[(codes >> 4).astype(jnp.int32)]
-            w = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (self.shape[1],))
-            g = self.shape[1] // a["absmax"].shape[-1]
+            w = jnp.stack([lo, hi], axis=-1).reshape(codes.shape[:-1] + (K,))
+            g = K // a["absmax"].shape[-1]
             return (w * jnp.repeat(a["absmax"], g, axis=-1)).astype(dtype)
         if self.kind == "qk":
             # split-halves nibble packing: byte j = el(j) | el(j+K/2)<<4
@@ -209,19 +225,19 @@ class Matrix:
             lo = (codes & 0x0F).astype(jnp.float32)
             hi = (codes >> 4).astype(jnp.float32)
             q = jnp.concatenate([lo, hi], axis=-1)
-            g = self.shape[1] // a["scales"].shape[-1]
+            g = K // a["scales"].shape[-1]
             s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
             mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
             return (q * s - mn).astype(dtype)
         if self.kind == "qk_b":
             q = a["codes"].astype(jnp.float32)
-            g = self.shape[1] // a["scales"].shape[-1]
+            g = K // a["scales"].shape[-1]
             s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
             mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
             return (q * s - mn).astype(dtype)
         if self.kind == "qk_nomin":
             q = a["codes"].astype(jnp.float32)
-            g = self.shape[1] // a["scales"].shape[-1]
+            g = K // a["scales"].shape[-1]
             s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
             return (q * s).astype(dtype)
         raise ValueError(f"unknown matrix kind {self.kind}")
@@ -245,14 +261,14 @@ class Matrix:
             # Mosaic needs an M-tile of at least 8 sublanes; matrices whose
             # M has no pow2 divisor >= 8 (e.g. odd vocab sizes) take the
             # XLA path
-            and _pow2_divisor(self.shape[0]) >= 8
+            and _pow2_divisor(self.dims()[0]) >= 8
         ):
             from ..ops.pallas import config as _pcfg
 
             if _pcfg.use_pallas() and not _pcfg.interpret:
                 from ..ops.pallas.matmul import quant_matmul
 
-                m, k = self.shape
+                m, k = self.dims()
                 lead = x.shape[:-1]
                 n = 1
                 for d in lead:
@@ -280,7 +296,7 @@ class Matrix:
         y[m] = Σ_g s[m,g]·(Σ_{k∈g} c[m,k]·x[k]) + Σ_g off[m,g]·(Σ_{k∈g} x[k])
         """
         a = self.arrays
-        m, k = self.shape
+        m, k = self.dims()
         if self.kind == "int8":
             # w = mn + (c/255)(mx-mn) → scale = (mx-mn)/255, offset = mn
             scales = (a["mx"].astype(jnp.float32) - a["mn"].astype(jnp.float32)) / 255.0

@@ -17,4 +17,5 @@ from .sharding import (  # noqa: F401
     multihost_initialize,
 )
 from .sequence import make_seq_parallel_prefill  # noqa: F401
+from .tensor import make_tp_forward, shard_params_tp  # noqa: F401
 from .pipeline import make_pipeline_forward, pipeline_state  # noqa: F401

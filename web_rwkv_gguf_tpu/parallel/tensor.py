@@ -1,0 +1,271 @@
+"""Explicit tensor-parallel forward via ``shard_map`` (V7).
+
+The GSPMD path (``shard_params`` + jit) lets XLA partition the forward
+automatically, but XLA cannot partition a ``pallas_call`` — on real
+multi-chip TPU the fused quant kernels would be replicated or rejected.
+This module instead runs the forward under ``jax.shard_map``: every
+device sees its LOCAL weight shard as an ordinary array, so the Pallas
+kernels run unchanged per device, and the collectives are explicit.
+
+Sharding plan (v1, all column-parallel):
+
+* every weight matrix is sharded on its OUTPUT dim (M). M-row slicing is
+  layout-safe for every quantized format — rows are independent in the
+  repacked layouts, so no 256-block or split-halves constraint applies
+  (K-sharding of the split-halves "qk" layout would need a per-shard
+  scale reorder; deferred).
+* projections whose input is the replicated residual (Wr/Wk/Wv/Wg,
+  ffn.Wk, head) are plain local matmuls producing local outputs; the
+  attention heads are co-sharded with their projections, so the WKV
+  recurrence is communication-free.
+* matrices whose input is itself sharded (Wo, ffn.Wv) gather the small
+  activation over ICI first (``all_gather``), then local-matmul, then
+  gather the output — two activation-sized collectives per use vs
+  Megatron's single psum, in exchange for format-independent sharding.
+  RWKV activations are tiny (C..4C floats/token), so ICI cost is
+  negligible against the weight-bandwidth win.
+* output-side per-head/per-channel vectors (k_k/k_a/r_k/gn/w0/a0/v0 and
+  the adapter up-projections w2/a2/g2/v2) are sliced to the local head
+  range inside the mapped function; input-side params stay replicated.
+* recurrent state: batch on ``data``, WKV heads on ``model`` (matching
+  ``shard_state``).
+
+Ref: SURVEY.md §2.6 (the reference has no distributed support; this is
+the BASELINE north-star design).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.forward import forward_chunk, logits_head
+from ..models.info import ModelInfo, ModelVersion
+from ..models.matrix import Matrix
+
+_COL = ("Wr", "Wk", "Wv", "Wg", "Wo")
+_COL_FFN = ("Wk", "Wv")
+# att vectors sliced to the local head range inside the mapped fn,
+# by axis position of their output dim
+_SLICE_LAST = ("k_k", "k_a", "w0", "a0", "v0")
+_SLICE_SECOND_LAST = ("r_k", "w2", "a2", "g2", "v2")
+
+
+@jax.tree_util.register_pytree_node_class
+class _GatherInCol:
+    """Column-parallel matrix whose input is itself model-sharded: gather
+    the activation over ICI, local-matmul, gather the local output back
+    to the full (replicated) vector. Registered as a pytree so the layer
+    scan can slice the stacked inner Matrix through it."""
+
+    def __init__(self, mat: Matrix, axis: str):
+        self.mat = mat
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.mat,), (self.axis,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    def matmul(self, x):
+        x_full = jax.lax.all_gather(x, self.axis, axis=-1, tiled=True)
+        y_local = self.mat.matmul(x_full)
+        return jax.lax.all_gather(y_local, self.axis, axis=-1, tiled=True)
+
+
+def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
+    """Place a (stacked) Matrix column-sharded on ``model``; derived gemv
+    scale operands are dropped (their position layout does not survive
+    slicing)."""
+    n = mesh.shape["model"]
+    arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
+    out = {}
+    for k, a in arrays.items():
+        if k == "lut":
+            spec = P()
+        else:
+            spec = P(*([None] * (a.ndim - 2) + ["model", None]))
+            if a.shape[-2] % n:
+                # M not divisible: replicate the whole matrix
+                return Matrix(
+                    m.kind, m.shape,
+                    {k2: jax.device_put(a2, NamedSharding(mesh, P()))
+                     for k2, a2 in arrays.items()},
+                )
+        out[k] = jax.device_put(a, NamedSharding(mesh, spec))
+    return Matrix(m.kind, m.shape, out)
+
+
+def _spec_for_mat(m: Matrix, mesh: Mesh) -> object:
+    """Pytree-prefix PartitionSpec matching :func:`_shard_mat_col`."""
+    n = mesh.shape["model"]
+    arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
+    if "lut" in arrays or any(a.shape[-2] % n for a in arrays.values()):
+        return P()
+    a = next(iter(arrays.values()))
+    return P(*([None] * (a.ndim - 2) + ["model", None]))
+
+
+def shard_params_tp(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
+    """Place parameters for :func:`make_tp_forward` (all-column plan)."""
+    if isinstance(params["blocks"], list):
+        raise NotImplementedError("TP requires the stacked (scan) form")
+    rep = NamedSharding(mesh, P())
+
+    def replicate(tree):
+        return jax.tree.map(lambda a: jax.device_put(a, rep), tree)
+
+    blocks = dict(params["blocks"])
+    att = dict(blocks["att"])
+    ffn = dict(blocks["ffn"])
+    for k in list(att):
+        if isinstance(att[k], Matrix):
+            att[k] = (
+                _shard_mat_col(att[k], mesh) if k in _COL
+                else Matrix(att[k].kind, att[k].shape, replicate(att[k].arrays))
+            )
+        else:
+            att[k] = replicate(att[k])
+    for k in list(ffn):
+        if isinstance(ffn[k], Matrix):
+            ffn[k] = (
+                _shard_mat_col(ffn[k], mesh) if k in _COL_FFN
+                else Matrix(ffn[k].kind, ffn[k].shape, replicate(ffn[k].arrays))
+            )
+        else:
+            ffn[k] = replicate(ffn[k])
+    blocks["att"] = att
+    blocks["ffn"] = ffn
+    blocks["ln1"] = replicate(blocks["ln1"])
+    blocks["ln2"] = replicate(blocks["ln2"])
+    return {
+        "emb": jax.device_put(params["emb"], rep),
+        "ln0": replicate(params["ln0"]),
+        "ln_out": replicate(params["ln_out"]),
+        "head": _shard_mat_col(params["head"], mesh),
+        "blocks": blocks,
+    }
+
+
+def _param_specs(params: dict, mesh: Mesh):
+    """in_specs pytree (prefix form: one spec per Matrix) matching
+    :func:`shard_params_tp`."""
+    blocks = params["blocks"]
+
+    def mat_or_rep(m, shard):
+        if isinstance(m, Matrix):
+            return _spec_for_mat(m, mesh) if shard else P()
+        return P()
+
+    att = {
+        k: mat_or_rep(v, k in _COL) if isinstance(v, Matrix)
+        else jax.tree.map(lambda _: P(), v)
+        for k, v in blocks["att"].items()
+    }
+    ffn = {
+        k: mat_or_rep(v, k in _COL_FFN) if isinstance(v, Matrix)
+        else jax.tree.map(lambda _: P(), v)
+        for k, v in blocks["ffn"].items()
+    }
+    return {
+        "emb": P(),
+        "ln0": jax.tree.map(lambda _: P(), params["ln0"]),
+        "ln_out": jax.tree.map(lambda _: P(), params["ln_out"]),
+        "head": _spec_for_mat(params["head"], mesh),
+        "blocks": {
+            "att": att,
+            "ffn": ffn,
+            "ln1": jax.tree.map(lambda _: P(), blocks["ln1"]),
+            "ln2": jax.tree.map(lambda _: P(), blocks["ln2"]),
+        },
+    }
+
+
+def _localize(params: dict, info: ModelInfo, axis: str) -> dict:
+    """Slice output-side per-head vectors to this device's head range and
+    wrap the sharded-input matrices with gather logic."""
+    idx = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    C = info.num_emb
+    H = info.num_head
+    c_loc, h_loc = C // n, H // n
+
+    def sl(a, axis_pos, size):
+        return jax.lax.dynamic_slice_in_dim(a, idx * size, size, axis_pos)
+
+    blocks = dict(params["blocks"])
+    att = dict(blocks["att"])
+    for k in _SLICE_LAST:
+        if k in att:
+            att[k] = sl(att[k], att[k].ndim - 1, c_loc)
+    for k in _SLICE_SECOND_LAST:
+        if k in att:
+            size = h_loc if k == "r_k" else c_loc
+            att[k] = sl(att[k], att[k].ndim - 2, size)
+    att["gn"] = {k2: sl(a, a.ndim - 1, c_loc) for k2, a in att["gn"].items()}
+    att["Wo"] = _GatherInCol(att["Wo"], axis)
+    blocks["att"] = att
+    ffn = dict(blocks["ffn"])
+    ffn["Wv"] = _GatherInCol(ffn["Wv"], axis)
+    blocks["ffn"] = ffn
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
+def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None):
+    """Build a jitted tensor+data-parallel ``(params, state, tokens,
+    lengths) -> (logits, new_state)`` forward under ``shard_map``.
+
+    ``params`` must be placed with :func:`shard_params_tp` (used here
+    only for its pytree structure/specs) and the state with
+    :func:`shard_state`. Requires V7 and C/H/hidden divisible by the
+    model-axis size. Returns last-token logits per lane, replicated over
+    ``model``.
+    """
+    if info.version != ModelVersion.V7:
+        raise NotImplementedError("shard_map TP implemented for V7")
+    n = mesh.shape["model"]
+    if info.num_emb % n or info.num_head % n or info.num_hidden % n:
+        raise ValueError(f"C/H/hidden must divide model axis ({n})")
+
+    specs = _param_specs(params, mesh)
+    head_sharded = _spec_for_mat(params["head"], mesh) != P()
+    state_specs = {
+        "att_shift": P(None, "data", None),
+        "wkv": P(None, "data", "model", None, None),
+        "ffn_shift": P(None, "data", None),
+    }
+
+    import dataclasses
+
+    # inside the mapped fn every device owns H/n heads
+    info_local = dataclasses.replace(info, num_head=info.num_head // n)
+
+    def body(params, state, tokens, lengths):
+        local = _localize(params, info, "model")
+        x, new_state = forward_chunk(
+            info_local, local, state, tokens, lengths, rescale=rescale
+        )
+        idx = jnp.clip(lengths - 1, 0, tokens.shape[1] - 1)
+        rows = x[jnp.arange(tokens.shape[0]), idx]
+        lg = logits_head(local, rows)
+        if head_sharded:
+            lg = jax.lax.all_gather(lg, "model", axis=-1, tiled=True)
+        return lg, new_state
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, state_specs, P("data", None), P("data")),
+            out_specs=(P("data", None), state_specs),
+            check_vma=False,
+        )
+    )
