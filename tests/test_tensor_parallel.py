@@ -66,13 +66,33 @@ def test_tp_forward_matches_single(quantize):
         )
 
 
-def test_tp_forward_v7_only_gate():
+def test_tp_forward_v4_gate():
     import dataclasses
 
     from web_rwkv_gguf_tpu.models.info import ModelVersion
 
     info, params = _model()
     mesh = make_mesh(1, 8)
-    info_v6 = dataclasses.replace(info, version=ModelVersion.V6)
+    info_v4 = dataclasses.replace(info, version=ModelVersion.V4)
     with pytest.raises(NotImplementedError):
-        make_tp_forward(info_v6, mesh, params)
+        make_tp_forward(info_v4, mesh, params)
+
+
+@pytest.mark.parametrize("version", ["v5", "v6"])
+def test_tp_forward_v5_v6(version):
+    maker = fixtures.make_v5_gguf if version == "v5" else fixtures.make_v6_gguf
+    raw = maker(n_layer=2, n_emb=64, head_size=8, n_vocab=96)
+    info, params = load_model(GgufFile(raw), dtype=jnp.float32)
+    B = 2
+    tokens = jnp.asarray(
+        np.random.default_rng(3).integers(1, 90, (B, 5)), jnp.int32
+    )
+    lens = jnp.asarray([5, 3], jnp.int32)
+    want, _ = _reference(info, params, tokens, lens)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params_tp(params, mesh, info)
+    fwd = make_tp_forward(info, mesh, sp)
+    state = shard_state(init_state(info, B), mesh)
+    got, _ = fwd(sp, state, tokens, lens)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

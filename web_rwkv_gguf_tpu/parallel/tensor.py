@@ -48,11 +48,20 @@ from ..models.info import ModelInfo, ModelVersion
 from ..models.matrix import Matrix
 
 _COL = ("Wr", "Wk", "Wv", "Wg", "Wo")
-_COL_FFN = ("Wk", "Wv")
-# att vectors sliced to the local head range inside the mapped fn,
-# by axis position of their output dim
-_SLICE_LAST = ("k_k", "k_a", "w0", "a0", "v0")
-_SLICE_SECOND_LAST = ("r_k", "w2", "a2", "g2", "v2")
+_COL_FFN = ("Wk", "Wv", "Wr")
+# att vectors sliced to the local head range inside the mapped fn:
+# (key, axis-from-end, "C"|"H") per version — output-side params only
+# (input-side params stay replicated and produce local outputs through
+# the sliced up-projections / col-sharded matrices)
+_ATT_SLICES = {
+    ModelVersion.V5: (("time_first", 2, "H"), ("time_decay", 2, "H")),
+    ModelVersion.V6: (("time_first", 2, "H"), ("time_decay", 1, "C"),
+                      ("td_w2", 2, "C")),
+    ModelVersion.V7: (("k_k", 1, "C"), ("k_a", 1, "C"), ("w0", 1, "C"),
+                      ("a0", 1, "C"), ("v0", 1, "C"), ("r_k", 2, "H"),
+                      ("w2", 2, "C"), ("a2", 2, "C"), ("g2", 2, "C"),
+                      ("v2", 2, "C")),
+}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -77,6 +86,27 @@ class _GatherInCol:
         x_full = jax.lax.all_gather(x, self.axis, axis=-1, tiled=True)
         y_local = self.mat.matmul(x_full)
         return jax.lax.all_gather(y_local, self.axis, axis=-1, tiled=True)
+
+
+@jax.tree_util.register_pytree_node_class
+class _ColGatherOut:
+    """Column-parallel matrix whose input is replicated but whose output
+    must be full (e.g. the v5/v6 FFN receptance gate): local matmul, then
+    gather the local output."""
+
+    def __init__(self, mat: Matrix, axis: str):
+        self.mat = mat
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.mat,), (self.axis,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    def matmul(self, x):
+        return jax.lax.all_gather(self.mat.matmul(x), self.axis, axis=-1, tiled=True)
 
 
 def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
@@ -196,23 +226,22 @@ def _localize(params: dict, info: ModelInfo, axis: str) -> dict:
     H = info.num_head
     c_loc, h_loc = C // n, H // n
 
-    def sl(a, axis_pos, size):
-        return jax.lax.dynamic_slice_in_dim(a, idx * size, size, axis_pos)
+    def sl(a, axis_from_end, size):
+        return jax.lax.dynamic_slice_in_dim(a, idx * size, size, a.ndim - axis_from_end)
 
     blocks = dict(params["blocks"])
     att = dict(blocks["att"])
-    for k in _SLICE_LAST:
+    for k, ax, unit in _ATT_SLICES[info.version]:
         if k in att:
-            att[k] = sl(att[k], att[k].ndim - 1, c_loc)
-    for k in _SLICE_SECOND_LAST:
-        if k in att:
-            size = h_loc if k == "r_k" else c_loc
-            att[k] = sl(att[k], att[k].ndim - 2, size)
-    att["gn"] = {k2: sl(a, a.ndim - 1, c_loc) for k2, a in att["gn"].items()}
+            att[k] = sl(att[k], ax, h_loc if unit == "H" else c_loc)
+    if "gn" in att:
+        att["gn"] = {k2: sl(a, 1, c_loc) for k2, a in att["gn"].items()}
     att["Wo"] = _GatherInCol(att["Wo"], axis)
     blocks["att"] = att
     ffn = dict(blocks["ffn"])
     ffn["Wv"] = _GatherInCol(ffn["Wv"], axis)
+    if "Wr" in ffn:  # v5/v6 FFN gate: replicated input, full output needed
+        ffn["Wr"] = _ColGatherOut(ffn["Wr"], axis)
     blocks["ffn"] = ffn
     out = dict(params)
     out["blocks"] = blocks
@@ -229,8 +258,11 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None):
     model-axis size. Returns last-token logits per lane, replicated over
     ``model``.
     """
-    if info.version != ModelVersion.V7:
-        raise NotImplementedError("shard_map TP implemented for V7")
+    if info.version not in _ATT_SLICES:
+        raise NotImplementedError(
+            "shard_map TP implemented for V5/V6/V7 (V4's single-head WKV "
+            "state is channel-wide; use the GSPMD path)"
+        )
     n = mesh.shape["model"]
     if info.num_emb % n or info.num_head % n or info.num_hidden % n:
         raise ValueError(f"C/H/hidden must divide model axis ({n})")
