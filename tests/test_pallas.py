@@ -39,7 +39,13 @@ def test_wkv7_pallas_matches_xla():
 
     y_ref, s_ref = W.wkv7(state, r, w, k, v, a, b, mask)
     y_pl, s_pl = wkv7_pallas(state, r, w, k, v, a, b, mask)
-    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    # y at padded positions is don't-care (the kernel pre-masks its inputs
+    # instead of selecting state post-update; model-level padding
+    # invariance is pinned by test_forward.py): compare valid rows only
+    valid = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(y_pl) * valid, np.asarray(y_ref) * valid, rtol=1e-5, atol=1e-5
+    )
     np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
 
 
@@ -154,15 +160,18 @@ def test_wkv6_pallas_matches_xla():
     w6 = jnp.asarray(np.exp(-np.exp(rng.normal(size=(B, T, H, K)))).astype(np.float32))
     mask = jnp.asarray(np.array([[1] * 6, [1, 1, 1, 1, 0, 0]], bool))
 
+    valid = np.asarray(mask)[:, :, None, None]  # padded y rows: don't-care
     y1, s1 = W.wkv6(state, r, k, v, u, w6, mask)
     y2, s2 = wkv6_pallas(state, r, k, v, u, w6, mask)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2) * valid, np.asarray(y1) * valid,
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
 
     w5 = jnp.asarray(np.exp(-np.exp(rng.normal(size=(H, K)))).astype(np.float32))
     y1, s1 = W.wkv5(state, r, k, v, u, w5, mask)
     y2, s2 = wkv5_pallas(state, r, k, v, u, w5, mask)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2) * valid, np.asarray(y1) * valid,
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
 
 

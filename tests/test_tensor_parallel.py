@@ -96,3 +96,30 @@ def test_tp_forward_v5_v6(version):
     state = shard_state(init_state(info, B), mesh)
     got, _ = fwd(sp, state, tokens, lens)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_shard_map_tp():
+    """Engine(tp_mode='shard_map') matches the single-device Engine
+    through the full chunked-inference surface."""
+    from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch
+
+    info, params = _model()
+    mesh = make_mesh(2, 4)
+    eng_tp = Engine(info, params, num_batch=2, token_chunk_size=32,
+                    mesh=mesh, tp_mode="shard_map")
+    eng = Engine(info, params, num_batch=2, token_chunk_size=32)
+
+    def run(engine):
+        inp = RnnInput([RnnInputBatch([1, 2, 3, 4, 5]), RnnInputBatch([9, 8, 7])], 32)
+        logits = [None, None]
+        while inp.num_token:
+            out = engine.infer(inp)
+            for b in range(2):
+                if len(out[b]):
+                    logits[b] = out[b][-1]
+        return logits
+
+    got = run(eng_tp)
+    want = run(eng)
+    for b in range(2):
+        np.testing.assert_allclose(got[b], want[b], rtol=2e-4, atol=2e-4)

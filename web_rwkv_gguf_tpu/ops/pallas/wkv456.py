@@ -1,7 +1,9 @@
 """Pallas TPU kernels for the V4 scalar WKV and V5/V6 matrix WKV scans.
 
-Same design as wkv7.py: one program per batch, all heads vectorized, the
-recurrent state resident in VMEM across the chunk.
+Same design as wkv7.py: each grid program holds the state of a GROUP of
+batch lanes in VMEM (Pallas TPU grids are sequential, so one lane per
+program serializes batched decode), heads vectorized, padding handled by
+pre-masking the inputs.
 
   V5/V6 (ref: time_mix_v{5,6}.wgsl): y = rᵀ(u∘(k vᵀ) + S); S ← diag(w)S + k vᵀ
     (V5 = static per-channel w/u; V6 = per-token w.)
@@ -17,6 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import config
+from .wkv7 import _VMEM_LIMIT, _batch_group
 
 
 # --------------------------------------------------------------------------
@@ -24,23 +27,20 @@ from . import config
 # --------------------------------------------------------------------------
 
 
-def _wkv6_kernel(mask_ref, u_ref, r_ref, k_ref, v_ref, w_ref, s0_ref,
-                 y_ref, s1_ref):
+def _wkv6_kernel(u_ref, r_ref, k_ref, v_ref, w_ref, s0_ref, y_ref, s1_ref):
     T = r_ref.shape[1]
-    bi = pl.program_id(0)
-    u = u_ref[:][:, :, None]  # [H, K, 1]
+    u = u_ref[:][None, :, :, None]  # [1, H, K, 1]
 
-    def body(t, S):  # S: [H, K, V]
-        rt = r_ref[0, t][:, :, None]
-        kt = k_ref[0, t][:, :, None]
-        wt = w_ref[0, t][:, :, None]
-        vt = v_ref[0, t][:, None, :]  # [H, 1, V]
+    def body(t, S):  # S: [bb, H, K, V]
+        rt = r_ref[:, t][:, :, :, None]
+        kt = k_ref[:, t][:, :, :, None]
+        wt = w_ref[:, t][:, :, :, None]
+        vt = v_ref[:, t][:, :, None, :]  # [bb, H, 1, V]
         kv = kt * vt
-        y_ref[0, t] = jnp.sum(rt * (u * kv + S), axis=1)
-        S_new = wt * S + kv
-        return jnp.where(mask_ref[bi, t] > 0, S_new, S)
+        y_ref[:, t] = jnp.sum(rt * (u * kv + S), axis=2)
+        return wt * S + kv
 
-    s1_ref[0] = jax.lax.fori_loop(0, T, body, s0_ref[0])
+    s1_ref[:] = jax.lax.fori_loop(0, T, body, s0_ref[:])
 
 
 def wkv6_pallas(state, r, k, v, u, w, mask):
@@ -48,29 +48,38 @@ def wkv6_pallas(state, r, k, v, u, w, mask):
     B, T, H, K = r.shape
     V = state.shape[-1]
     f32 = jnp.float32
-    vec = pl.BlockSpec((1, T, H, K), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
-    val = pl.BlockSpec((1, T, H, V), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
-    st = pl.BlockSpec((1, H, K, V), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
-    uu = pl.BlockSpec((H, K), lambda bi: (0, 0), memory_space=pltpu.VMEM)
-    msk = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bb = _batch_group(B, H, K, V, T)
+
+    # pre-mask: padded tokens must leave S unchanged (w=1 keeps the decay
+    # term, k=0 kills the write); their y rows are don't-care
+    m = mask[..., None, None].astype(f32)  # [B, T, 1, 1]
+    w = jnp.where(m > 0, w.astype(f32), 1.0)
+    k = k.astype(f32) * m
+
+    vec = pl.BlockSpec((bb, T, H, K), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    val = pl.BlockSpec((bb, T, H, V), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((bb, H, K, V), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    uu = pl.BlockSpec((H, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
     y, s1 = pl.pallas_call(
         _wkv6_kernel,
-        grid=(B,),
-        in_specs=[msk, uu, vec, vec, val, vec, st],
+        grid=(B // bb,),
+        in_specs=[uu, vec, vec, val, vec, st],
         out_specs=(val, st),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, H, V), f32),
             jax.ShapeDtypeStruct((B, H, K, V), f32),
         ),
         interpret=config.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=6 * B * T * H * K * V,
             bytes_accessed=4 * B * T * H * K * 4 + 4 * B * H * K * V * 2,
             transcendentals=0,
         ),
     )(
-        mask.astype(f32), u.astype(f32),
-        *(t.astype(f32) for t in (r, k, v, w)),
+        u.astype(f32), r.astype(f32), k, v.astype(f32), w,
         state.astype(f32),
     )
     return y, s1
@@ -91,6 +100,9 @@ def wkv5_pallas(state, r, k, v, u, w, mask):
 
 def _wkv4_kernel(mask_ref, u_ref, w_ref, k_ref, v_ref, r_ref, s0_ref,
                  y_ref, s1_ref):
+    """V4 keeps an in-kernel select: the pp (running max) row cannot be
+    no-op'd by input masking alone. Grid stays (B,) — V4 models are small
+    and single-head, so the sequential-grid cost is minor."""
     T = k_ref.shape[1]
     bi = pl.program_id(0)
     u = u_ref[:]  # [1, C]

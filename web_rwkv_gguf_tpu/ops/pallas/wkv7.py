@@ -1,15 +1,20 @@
 """RWKV-7 generalized-delta-rule WKV scan as a Pallas TPU kernel.
 
-Grid is (batch,); each program keeps ALL of its heads' state matrices
-``S[H, K, V]`` resident in VMEM across the whole chunk and vectorizes the
-per-token update over heads (the reference re-reads the state from GPU
-global memory per token, ref: src/shaders/time_mix_v7.wgsl:172-217).
-Vectorizing across H × V lanes keeps the VPU full; a per-(batch, head)
-grid was measured ~50% slower (sequential grid programs with small ops).
+Each grid program keeps the state matrices ``S[bb, H, K, V]`` of a GROUP
+of ``bb`` batch lanes resident in VMEM across the whole chunk and
+vectorizes the per-token update over lanes × heads (the reference
+re-reads the state from GPU global memory per token, ref:
+src/shaders/time_mix_v7.wgsl:172-217). Pallas TPU grids execute
+sequentially, so one-lane-per-program serializes batched decode — the
+group size is chosen to pack as many lanes per program as the VMEM
+state budget allows (measured 25x slowdown at B=8 with grid=(B,)).
+
+Padding is handled by pre-masking the inputs (w←1, k←0, b←0 makes the
+update a no-op) instead of an in-kernel select, which removes the SMEM
+mask plumbing entirely.
 
 Per token (ref math, time_mix_v7.wgsl:143-221):
     sa = aᵀS;  S ← diag(w)S + k vᵀ + b saᵀ;  y = Sᵀr
-Masked (padding) tokens skip the state update.
 """
 
 from __future__ import annotations
@@ -21,26 +26,41 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import config
 
+# scoped-VMEM limit requested for the WKV kernels (the 16 MB default is
+# conservative; v5e-class chips have 128 MB physical VMEM) and the live
+# bytes budgeted per batch lane: the loop body keeps ~10 state-sized
+# temporaries (sa, kv, b·sa, w·S, partial sums) plus double-buffered
+# token slabs
+_VMEM_LIMIT = 64 << 20
+_LIVE_BUDGET = 48 << 20
 
-def _wkv7_kernel(mask_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+
+def _batch_group(B: int, H: int, K: int, V: int, T: int = 1) -> int:
+    per_lane = 10 * H * K * V * 4 + 12 * T * H * K * 4
+    bb = max(1, _LIVE_BUDGET // per_lane)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
+def _wkv7_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
                  y_ref, s1_ref):
     T = r_ref.shape[1]
-    bi = pl.program_id(0)
 
-    def body(t, S):  # S: [H, K, V]
-        rt = r_ref[0, t][:, :, None]  # [H, K, 1]
-        wt = w_ref[0, t][:, :, None]
-        kt = k_ref[0, t][:, :, None]
-        at = a_ref[0, t][:, :, None]
-        bt = b_ref[0, t][:, :, None]
-        vt = v_ref[0, t][:, None, :]  # [H, 1, V]
+    def body(t, S):  # S: [bb, H, K, V]
+        rt = r_ref[:, t][:, :, :, None]  # [bb, H, K, 1]
+        wt = w_ref[:, t][:, :, :, None]
+        kt = k_ref[:, t][:, :, :, None]
+        at = a_ref[:, t][:, :, :, None]
+        bt = b_ref[:, t][:, :, :, None]
+        vt = v_ref[:, t][:, :, None, :]  # [bb, H, 1, V]
 
-        sa = jnp.sum(at * S, axis=1, keepdims=True)  # [H, 1, V]
-        S_new = wt * S + kt * vt + bt * sa
-        y_ref[0, t] = jnp.sum(rt * S_new, axis=1)
-        return jnp.where(mask_ref[bi, t] > 0, S_new, S)
+        sa = jnp.sum(at * S, axis=2, keepdims=True)  # [bb, H, 1, V]
+        S = wt * S + kt * vt + bt * sa
+        y_ref[:, t] = jnp.sum(rt * S, axis=2)
+        return S
 
-    s1_ref[0] = jax.lax.fori_loop(0, T, body, s0_ref[0])
+    s1_ref[:] = jax.lax.fori_loop(0, T, body, s0_ref[:])
 
 
 def wkv7_pallas(
@@ -57,36 +77,43 @@ def wkv7_pallas(
     B, T, H, K = r.shape
     V = state.shape[-1]
     f32 = jnp.float32
+    bb = _batch_group(B, H, K, V, T)
 
-    vec_spec = pl.BlockSpec((1, T, H, K), lambda bi: (bi, 0, 0, 0),
+    # pre-mask: padded tokens must leave S unchanged — w=1 keeps the decay
+    # term, k=0 kills the write, b=0 kills the delta correction
+    m = mask[..., None, None].astype(f32)  # [B, T, 1, 1]
+    w = jnp.where(m > 0, w.astype(f32), 1.0)
+    k = k.astype(f32) * m
+    b = b.astype(f32) * m
+
+    vec_spec = pl.BlockSpec((bb, T, H, K), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    val_spec = pl.BlockSpec((1, T, H, V), lambda bi: (bi, 0, 0, 0),
+    val_spec = pl.BlockSpec((bb, T, H, V), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((1, H, K, V), lambda bi: (bi, 0, 0, 0),
+    st_spec = pl.BlockSpec((bb, H, K, V), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    # SMEM, unblocked: the per-token mask is read with dynamic (loop)
-    # indices, which vector memory cannot do along the lane dim
-    mask_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     y, s1 = pl.pallas_call(
         _wkv7_kernel,
-        grid=(B,),
-        in_specs=[mask_spec, vec_spec, vec_spec, vec_spec, val_spec, vec_spec,
-                  vec_spec, st_spec],
+        grid=(B // bb,),
+        in_specs=[vec_spec, vec_spec, vec_spec, val_spec, vec_spec, vec_spec,
+                  st_spec],
         out_specs=(val_spec, st_spec),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, H, V), f32),
             jax.ShapeDtypeStruct((B, H, K, V), f32),
         ),
         interpret=config.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * T * H * K * V,
             bytes_accessed=4 * B * T * H * K * 6 + 4 * B * H * K * V * 2,
             transcendentals=0,
         ),
     )(
-        mask.astype(f32),
-        *(t.astype(f32) for t in (r, w, k, v, a, b)),
+        r.astype(f32), w, k, v.astype(f32), a.astype(f32), b,
         state.astype(f32),
     )
     return y, s1

@@ -248,14 +248,17 @@ def _localize(params: dict, info: ModelInfo, axis: str) -> dict:
     return out
 
 
-def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None):
+def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
+                    full_output: bool = False):
     """Build a jitted tensor+data-parallel ``(params, state, tokens,
-    lengths) -> (logits, new_state)`` forward under ``shard_map``.
+    lengths) -> (out, new_state)`` forward under ``shard_map``.
 
     ``params`` must be placed with :func:`shard_params_tp` (used here
     only for its pytree structure/specs) and the state with
-    :func:`shard_state`. Requires V7 and C/H/hidden divisible by the
-    model-axis size. Returns last-token logits per lane, replicated over
+    :func:`shard_state`. Requires V5/V6/V7 and C/H/hidden divisible by
+    the model-axis size. ``out`` is the last-token logits per lane
+    (default) or, with ``full_output``, the full residual stream
+    ``[B, T, C]`` (apply ``logits_head`` yourself) — both replicated over
     ``model``.
     """
     if info.version not in _ATT_SLICES:
@@ -285,6 +288,8 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None):
         x, new_state = forward_chunk(
             info_local, local, state, tokens, lengths, rescale=rescale
         )
+        if full_output:
+            return x, new_state
         idx = jnp.clip(lengths - 1, 0, tokens.shape[1] - 1)
         rows = x[jnp.arange(tokens.shape[0]), idx]
         lg = logits_head(local, rows)
@@ -292,12 +297,13 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None):
             lg = jax.lax.all_gather(lg, "model", axis=-1, tiled=True)
         return lg, new_state
 
+    out_spec = P("data", None, None) if full_output else P("data", None)
     return jax.jit(
         shard_map(
             body,
             mesh=mesh,
             in_specs=(specs, state_specs, P("data", None), P("data")),
-            out_specs=(P("data", None), state_specs),
+            out_specs=(out_spec, state_specs),
             check_vma=False,
         )
     )

@@ -76,7 +76,10 @@ class Engine:
         mesh=None,
         unroll: bool | None = None,
         hooks: dict | None = None,
+        tp_mode: str = "gspmd",
     ):
+        if tp_mode not in ("gspmd", "shard_map"):
+            raise ValueError(f"unknown tp_mode {tp_mode!r}")
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
@@ -136,6 +139,29 @@ class Engine:
 
         self._forward_last = jax.jit(_fwd_last, donate_argnums=(1,))
         self._head = jax.jit(logits_head)
+
+        # explicit shard_map tensor parallelism (parallel/tensor.py):
+        # per-device local shards keep the Pallas kernels usable on real
+        # multi-chip TPU; collectives are explicit ICI all_gathers. The
+        # GSPMD default relies on XLA's partitioner instead.
+        if mesh is not None and tp_mode == "shard_map":
+            if hooks:
+                raise NotImplementedError("hooks are not supported under shard_map TP")
+            from ..parallel.tensor import make_tp_forward, shard_params_tp
+
+            self.params = params = shard_params_tp(params, mesh, info)
+            self._forward_last = make_tp_forward(info, mesh, params, rescale=rescale)
+            self._forward = make_tp_forward(
+                info, mesh, params, rescale=rescale, full_output=True
+            )
+
+            def _no_embeds(*a, **kw):
+                raise NotImplementedError(
+                    "embedding-vector tokens are not supported under "
+                    "shard_map TP yet"
+                )
+
+            self._forward_embeds = _no_embeds
 
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
 
