@@ -117,12 +117,20 @@ def _use_pallas() -> bool:
 WKV7_CHUNKED_MIN_T = 128
 
 
+def _decode_wkv_xla(T: int) -> bool:
+    from ..ops.pallas import config as _pcfg
+
+    return T == 1 and _pcfg.decode_wkv_xla
+
+
 def _wkv7(state, r, w, k, v, a, b, mask):
     T = r.shape[1]
     if T >= WKV7_CHUNKED_MIN_T:
         from ..ops.wkv_chunked import wkv7_chunked
 
         return wkv7_chunked(state, r, w, k, v, a, b, mask)
+    if _decode_wkv_xla(T):
+        return W.wkv7_step(state, r, w, k, v, a, b, mask)
     if _use_pallas():
         from ..ops.pallas.wkv7 import wkv7_pallas
 
@@ -131,6 +139,8 @@ def _wkv7(state, r, w, k, v, a, b, mask):
 
 
 def _wkv4(state, k, v, r, u, w, mask):
+    if _decode_wkv_xla(k.shape[1]):
+        return W.wkv4_step(state, k, v, r, u, w, mask)
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv4_pallas
 
@@ -144,6 +154,8 @@ def _wkv5(state, r, k, v, u, w, mask):
 
         wt = jnp.broadcast_to(w[None, None], r.shape)
         return wkv6_chunked(state, r, k, v, u, wt, mask)
+    if _decode_wkv_xla(r.shape[1]):
+        return W.wkv5_step(state, r, k, v, u, w, mask)
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv5_pallas
 
@@ -156,6 +168,8 @@ def _wkv6(state, r, k, v, u, w, mask):
         from ..ops.wkv_chunked import wkv6_chunked
 
         return wkv6_chunked(state, r, k, v, u, w, mask)
+    if _decode_wkv_xla(r.shape[1]):
+        return W.wkv6_step(state, r, k, v, u, w, mask)
     if _use_pallas():
         from ..ops.pallas.wkv456 import wkv6_pallas
 

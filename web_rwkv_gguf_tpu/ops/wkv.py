@@ -72,6 +72,37 @@ def wkv4(
     return ys.swapaxes(0, 1), new_state
 
 
+def wkv4_step(state, k, v, r, u, w, mask):
+    """T==1 specialization of :func:`wkv4`: one fused XLA update with no
+    scan or Pallas call (see :func:`wkv5_step`)."""
+    f32 = jnp.float32
+    kk, vv = k[:, 0].astype(f32), v[:, 0].astype(f32)
+    rr = jax.nn.sigmoid(r[:, 0].astype(f32))
+    u, w = u.astype(f32), w.astype(f32)
+    aa, bb, pp = state[..., 0], state[..., 1], state[..., 2]
+
+    ww = u + kk
+    q = jnp.maximum(pp, ww)
+    e1 = jnp.exp(pp - q)
+    e2 = jnp.exp(ww - q)
+    y = rr * (e1 * aa + e2 * vv) / (e1 * bb + e2)
+
+    ww = w + pp
+    q = jnp.maximum(ww, kk)
+    e1 = jnp.exp(ww - q)
+    e2 = jnp.exp(kk - q)
+    m = mask[:, 0][:, None]
+    new = jnp.stack(
+        [
+            jnp.where(m, e1 * aa + e2 * vv, aa),
+            jnp.where(m, e1 * bb + e2, bb),
+            jnp.where(m, q, pp),
+        ],
+        axis=-1,
+    )
+    return y[:, None], new
+
+
 def _scan_heads(step, state, xs_btf, mask):
     """Helper: scan over T for per-head recurrences with mask-gated state."""
     xs = tuple(x.swapaxes(0, 1) for x in xs_btf) + (mask.swapaxes(0, 1),)
@@ -160,6 +191,49 @@ def wkv7(
         return S, y
 
     return _scan_heads(step, state, (r, w, k, v, a, b), mask)
+
+
+def wkv5_step(state, r, k, v, u, w, mask):
+    """T==1 specialization of :func:`wkv5`: one fused XLA update with no
+    scan or Pallas call, so XLA can fuse it into the surrounding decode
+    step (the Pallas kernel's fixed block-DMA cost dominates at T=1)."""
+    f32 = jnp.float32
+    rr, kk, vv = r[:, 0].astype(f32), k[:, 0].astype(f32), v[:, 0].astype(f32)
+    u, w = u.astype(f32), w.astype(f32)
+    kv = kk[..., :, None] * vv[..., None, :]
+    y = jnp.einsum("bhk,bhkv->bhv", rr, u[..., :, None] * kv + state)
+    S_n = w[..., :, None] * state + kv
+    S = jnp.where(mask[:, 0][:, None, None, None], S_n, state)
+    return y[:, None], S
+
+
+def wkv6_step(state, r, k, v, u, w, mask):
+    """T==1 specialization of :func:`wkv6` (see :func:`wkv5_step`)."""
+    f32 = jnp.float32
+    rr, kk, vv = r[:, 0].astype(f32), k[:, 0].astype(f32), v[:, 0].astype(f32)
+    ww, u = w[:, 0].astype(f32), u.astype(f32)
+    kv = kk[..., :, None] * vv[..., None, :]
+    y = jnp.einsum("bhk,bhkv->bhv", rr, u[..., :, None] * kv + state)
+    S_n = ww[..., :, None] * state + kv
+    S = jnp.where(mask[:, 0][:, None, None, None], S_n, state)
+    return y[:, None], S
+
+
+def wkv7_step(state, r, w, k, v, a, b, mask):
+    """T==1 specialization of :func:`wkv7` (see :func:`wkv5_step`)."""
+    f32 = jnp.float32
+    rr, ww = r[:, 0].astype(f32), w[:, 0].astype(f32)
+    kk, vv = k[:, 0].astype(f32), v[:, 0].astype(f32)
+    aa, bb = a[:, 0].astype(f32), b[:, 0].astype(f32)
+    sa = jnp.einsum("bhk,bhkv->bhv", aa, state)
+    S_n = (
+        ww[..., :, None] * state
+        + kk[..., :, None] * vv[..., None, :]
+        + bb[..., :, None] * sa[..., None, :]
+    )
+    y = jnp.einsum("bhk,bhkv->bhv", rr, S_n)
+    S = jnp.where(mask[:, 0][:, None, None, None], S_n, state)
+    return y[:, None], S
 
 
 def wkv7_act_w(w_in: jax.Array) -> jax.Array:
