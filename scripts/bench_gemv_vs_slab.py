@@ -53,15 +53,15 @@ def time_chain(run, x, mat, reps=3):
     return best
 
 
-def per_call_us(mat, n, m, k, short=24, long=72):
+def per_call_us(mat, n, m, k, est_us=2.0):
+    # size chains so the long-short signal (~3 x 0.3 s) dominates the
+    # ms-scale fetch-RTT variance of this tunnel
+    short = max(64, min(4096, int(300.0 / max(est_us, 0.5))))
+    long = 4 * short
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((n, k)), jnp.bfloat16)
-    ts = min(
-        time_chain(make_chain(mat, n, m, k, short), x, mat) for _ in range(2)
-    )
-    tl = min(
-        time_chain(make_chain(mat, n, m, k, long), x, mat) for _ in range(2)
-    )
+    ts = time_chain(make_chain(mat, n, m, k, short), x, mat)
+    tl = time_chain(make_chain(mat, n, m, k, long), x, mat)
     return (tl - ts) / (long - short) * 1e6
 
 
@@ -81,13 +81,14 @@ def main():
             int(np.prod(a.shape)) * a.dtype.itemsize
             for a in jax.tree.leaves(mat)
         )
+        floor0 = qbytes / 750e9 * 1e6
         for n in ns:
             pm._gemv_block_m = orig_gbm
-            t_gemv = per_call_us(mat, n, m, k)
+            t_gemv = per_call_us(mat, n, m, k, est_us=max(floor0, 2.0))
             pm._gemv_block_m = lambda m_: None  # force slab kernel
-            t_slab = per_call_us(mat, n, m, k)
+            t_slab = per_call_us(mat, n, m, k, est_us=max(floor0 * 4, 2.0))
             pm._gemv_block_m = orig_gbm
-            floor = qbytes / 750e9 * 1e6
+            floor = floor0
             print(
                 f"[{m:6d}x{k:5d}] N={n}  gemv {t_gemv:7.1f}us  "
                 f"slab {t_slab:7.1f}us  dma-floor {floor:5.1f}us",

@@ -357,9 +357,15 @@ def quant_matmul(
     gsize = k // g
 
     # gemv-shaped calls take the bitcast kernel (see note above): small N,
-    # a usable M tiling, group-aligned halves, and VMEM-sized operands
+    # a usable M tiling, group-aligned halves, and VMEM-sized operands.
+    # The kernel's MXU work scales as n·g·k·m (a k/gsize FLOP factor over
+    # a plain gemv), so once n·g grows past ~256 the slab kernel's u8→i32
+    # widen is the cheaper evil (measured crossover on v5e-class hw,
+    # scripts/bench_gemv_vs_slab.py: at [768, 2688] (g=84) slab wins from
+    # n=4; at g=24 shapes gemv wins through n=8).
     if (
         n <= 8
+        and n * g <= 256
         and _gemv_block_m(m) is not None
         and (kind != "qk" or g % 2 == 0)
         and _gemv_block_m(m) * kdim <= (2 << 20)
