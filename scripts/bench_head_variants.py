@@ -1,0 +1,188 @@
+"""Head-gemv kernel variants A/B on the real chip.
+
+The [65536, 768] Q4_K decode gemv measures ~101 us in-loop (372 GB/s
+effective incl. f32 scale operands) — above the ~50 us DMA floor, i.e.
+VPU-unpack-bound. Variants probe which knob moves it:
+
+  v0  current kernel (baseline)
+  v1  f32 MXU dots (skip the f32->bf16 cast of the unpacked planes)
+  v2  bm=1024/2048 (fewer grid steps, bigger DMA chunks)
+  v3  byte-plane-first extraction (B=(w>>8b)&0xFF, then lo/hi from B)
+
+Chain-timed inside one jit + host fetch (block_until_ready lies over
+this tunnel; see CLAUDE.md).
+
+Usage: python scripts/bench_head_variants.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+from web_rwkv_gguf_tpu.models.matrix import Matrix
+from web_rwkv_gguf_tpu.ops.pallas import matmul as pm
+from web_rwkv_gguf_tpu.quant.ggml import GgmlDType, quantize_q4_k
+
+M, C = 65536, 768
+
+
+def _gemv_kernel_var(codes_ref, st_ref, mnt_ref, sxt_ref, xlo_ref, xhi_ref,
+                     out_ref, *, n, g, gh, bm, variant):
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [BM/4, kdim]
+    q = bm // 4
+    dotdt = jnp.float32 if variant == "f32dot" else jnp.bfloat16
+
+    def dot(xm, part):
+        return jax.lax.dot_general(
+            xm, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for b in range(4):
+        if variant == "byteplane":
+            byte = (w >> (8 * b)) & 0xFF
+            lo = (byte & 0xF).astype(jnp.float32).astype(dotdt)
+            hi = (byte >> 4).astype(jnp.float32).astype(dotdt)
+        else:
+            lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(dotdt)
+            hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(dotdt)
+        plo = dot(xlo_ref[:].astype(dotdt), lo)  # [N*Gh, BM/4]
+        phi = dot(xhi_ref[:].astype(dotdt), hi)
+
+        sblk = st_ref[:, b * q : (b + 1) * q].astype(jnp.float32)
+        mnblk = mnt_ref[:, b * q : (b + 1) * q].astype(jnp.float32)
+        for nn in range(n):
+            p = jnp.concatenate(
+                [plo[nn * gh : (nn + 1) * gh], phi[nn * gh : (nn + 1) * gh]],
+                axis=0,
+            )
+            y = jnp.sum(p * sblk, axis=0, keepdims=True)
+            sx = sxt_ref[:, nn : nn + 1]
+            y = y - jnp.sum(mnblk * sx, axis=0, keepdims=True)
+            out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
+
+
+def build_gemv(mat, bm, variant, scale_dtype=jnp.float32):
+    a = mat.arrays
+    m, k = mat.dims()
+    kdim = k // 2
+    gsize = 32
+    g = k // gsize
+    gh = g // 2
+    codes = a["codes"]
+    # re-tile the position-ordered scales for this bm
+    scales = np.asarray(a["scales"], np.float32)
+    mins = np.asarray(a["mins"], np.float32)
+
+    def to_pos(arr):
+        arr = arr.reshape(m // bm, bm // 4, 4, g)
+        return np.ascontiguousarray(arr.transpose(3, 0, 2, 1).reshape(g, m))
+
+    st = jnp.asarray(to_pos(scales), scale_dtype)
+    mnt = jnp.asarray(to_pos(mins), scale_dtype)
+    e = jnp.asarray(pm._expand_matrix(gsize, kdim, np.float32), jnp.bfloat16)
+
+    def run(x):  # [1, k] bf16
+        n = x.shape[0]
+        xb = x.astype(jnp.bfloat16)
+        sxt = x.astype(jnp.float32).reshape(n, g, gsize).sum(-1).T
+        xlo = (xb[:, None, :kdim] * e[None]).reshape(n * gh, kdim)
+        xhi = (xb[:, None, kdim:] * e[None]).reshape(n * gh, kdim)
+        kernel = functools.partial(
+            _gemv_kernel_var, n=n, g=g, gh=gh, bm=bm, variant=variant
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n * gh, kdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n * gh, kdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (4 * n, bm // 4), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((4 * n, m // 4), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * m * k,
+                bytes_accessed=codes.size + st.size * st.dtype.itemsize * 2
+                + n * k * 2 + n * m * 4,
+                transcendentals=0,
+            ),
+        )(codes, st, mnt, sxt, xlo, xhi)
+        return (
+            out.reshape(n, 4, m // bm, bm // 4).transpose(0, 2, 3, 1).reshape(n, m)
+        )
+
+    return run
+
+
+def time_loop(fn, x, length_s=128, reps=3):
+    def chain(x, length):
+        def body(x, _):
+            y = fn(x)
+            return x + y[:, :C].astype(x.dtype) * 1e-6, ()
+
+        x, _ = jax.lax.scan(body, x, None, length=length)
+        return x
+
+    runs = {}
+    for length in (length_s, 4 * length_s):
+        r = jax.jit(functools.partial(chain, length=length))
+        out = r(x)
+        _ = np.asarray(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = r(x)
+            _ = np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        runs[length] = best
+    return 1e6 * (runs[4 * length_s] - runs[length_s]) / (3 * length_s)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((M, C)) * 0.05).astype(np.float32)
+    raw = quantize_q4_k(w)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (M, C))
+    x = jnp.asarray(rng.standard_normal((1, C)), jnp.bfloat16)
+
+    ref = None
+    for name, bm, variant, sdt in [
+        ("v0 current  bm=512 ", 512, "base", jnp.float32),
+        ("v1 f32 dots bm=512 ", 512, "f32dot", jnp.float32),
+        ("v2 bm=2048         ", 2048, "base", jnp.float32),
+        ("v2 bm=4096         ", 4096, "base", jnp.float32),
+        ("v3 byteplane bm=512", 512, "byteplane", jnp.float32),
+        ("v4 bf16 st bm=2048 ", 2048, "base", jnp.bfloat16),
+    ]:
+        try:
+            fn = build_gemv(mat, bm, variant, sdt)
+            y = np.asarray(fn(x))
+            if ref is None:
+                ref = y
+            err = float(np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9))
+            us = time_loop(fn, x)
+            gbs = (mat.arrays["codes"].size + 2 * 24 * M * (2 if sdt == jnp.bfloat16 else 4)) / us / 1e3
+            print(f"{name}: {us:7.2f} us  ({gbs:4.0f} GB/s)  relerr={err:.2e}",
+                  flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
