@@ -184,5 +184,142 @@ def main():
             print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:120]}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--tiled" not in sys.argv and "--final" not in sys.argv:
     main()
+
+
+# --- contiguous per-tile scale layout variants (appended) -----------------
+
+
+def build_gemv_tiled(mat, bm, scale_dtype=jnp.float32):
+    """st/mnt stored [m//bm, g, bm] so each grid step's scale block is one
+    contiguous DMA (the [g, m] layout loads bm-column slices with row
+    stride m — measured well under HBM speed)."""
+    a = mat.arrays
+    m, k = mat.dims()
+    kdim = k // 2
+    gsize = 32
+    g = k // gsize
+    gh = g // 2
+    codes = a["codes"]
+    scales = np.asarray(a["scales"], np.float32)
+    mins = np.asarray(a["mins"], np.float32)
+
+    def to_pos_tiled(arr):
+        arr = arr.reshape(m // bm, bm // 4, 4, g)
+        return np.ascontiguousarray(arr.transpose(0, 3, 2, 1))  # [nb, g, 4, bm/4]
+
+    st = jnp.asarray(to_pos_tiled(scales).reshape(m // bm, g, bm), scale_dtype)
+    mnt = jnp.asarray(to_pos_tiled(mins).reshape(m // bm, g, bm), scale_dtype)
+    e = jnp.asarray(pm._expand_matrix(gsize, kdim, np.float32), jnp.bfloat16)
+
+    def kernel(codes_ref, st_ref, mnt_ref, sxt_ref, xlo_ref, xhi_ref, out_ref,
+               *, n, g, gh, bm):
+        w = pltpu.bitcast(codes_ref[:], jnp.int32)
+        q = bm // 4
+
+        def dot(xm, part):
+            return jax.lax.dot_general(
+                xm, part, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        for b in range(4):
+            lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            plo = dot(xlo_ref[:], lo)
+            phi = dot(xhi_ref[:], hi)
+            sblk = st_ref[0, :, b * q : (b + 1) * q].astype(jnp.float32)
+            mnblk = mnt_ref[0, :, b * q : (b + 1) * q].astype(jnp.float32)
+            for nn in range(n):
+                p = jnp.concatenate(
+                    [plo[nn * gh : (nn + 1) * gh], phi[nn * gh : (nn + 1) * gh]], axis=0)
+                y = jnp.sum(p * sblk, axis=0, keepdims=True)
+                sx = sxt_ref[:, nn : nn + 1]
+                y = y - jnp.sum(mnblk * sx, axis=0, keepdims=True)
+                out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
+
+    def run(x):
+        n = x.shape[0]
+        xb = x.astype(jnp.bfloat16)
+        sxt = x.astype(jnp.float32).reshape(n, g, gsize).sum(-1).T
+        xlo = (xb[:, None, :kdim] * e[None]).reshape(n * gh, kdim)
+        xhi = (xb[:, None, kdim:] * e[None]).reshape(n * gh, kdim)
+        out = pl.pallas_call(
+            functools.partial(kernel, n=n, g=g, gh=gh, bm=bm),
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g, bm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g, bm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n * gh, kdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n * gh, kdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (4 * n, bm // 4), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4 * n, m // 4), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * m * k,
+                bytes_accessed=codes.size + st.size * st.dtype.itemsize * 2
+                + n * k * 2 + n * m * 4,
+                transcendentals=0,
+            ),
+        )(codes, st, mnt, sxt, xlo, xhi)
+        return out.reshape(n, 4, m // bm, bm // 4).transpose(0, 2, 3, 1).reshape(n, m)
+
+    return run
+
+
+def main_tiled():
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((M, C)) * 0.05).astype(np.float32)
+    raw = quantize_q4_k(w)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (M, C))
+    x = jnp.asarray(rng.standard_normal((1, C)), jnp.bfloat16)
+    ref = np.asarray(build_gemv(mat, 512, "base")(x))
+    for name, bm, sdt in [
+        ("v5 tiled f32 bm=2048 ", 2048, jnp.float32),
+        ("v5 tiled f32 bm=4096 ", 4096, jnp.float32),
+        ("v6 tiled bf16 bm=4096", 4096, jnp.bfloat16),
+    ]:
+        try:
+            fn = build_gemv_tiled(mat, bm, sdt)
+            y = np.asarray(fn(x))
+            err = float(np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9))
+            us = time_loop(fn, x)
+            nb = mat.arrays["codes"].size + 2 * 24 * M * (2 if sdt == jnp.bfloat16 else 4)
+            print(f"{name}: {us:7.2f} us  ({nb/us/1e3:4.0f} GB/s)  relerr={err:.2e}",
+                  flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+
+
+if __name__ == "__main__" and "--tiled" in sys.argv and "--final" not in sys.argv:
+    main_tiled()
+
+
+def main_final():
+    """All contenders in ONE session (in-session comparisons only), with a
+    baseline repeat at the end to detect drift."""
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((M, C)) * 0.05).astype(np.float32)
+    raw = quantize_q4_k(w)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (M, C))
+    x = jnp.asarray(rng.standard_normal((1, C)), jnp.bfloat16)
+    cases = [
+        ("A strided f32 bm=512 ", lambda: build_gemv(mat, 512, "base")),
+        ("B strided f32 bm=4096", lambda: build_gemv(mat, 4096, "base")),
+        ("C strided bf16 bm=2048", lambda: build_gemv(mat, 2048, "base", jnp.bfloat16)),
+        ("D tiled   f32 bm=4096", lambda: build_gemv_tiled(mat, 4096)),
+        ("E tiled   bf16 bm=4096", lambda: build_gemv_tiled(mat, 4096, jnp.bfloat16)),
+        ("A strided f32 bm=512 (repeat)", lambda: build_gemv(mat, 512, "base")),
+    ]
+    for name, mk in cases:
+        fn = mk()
+        us = time_loop(fn, x)
+        print(f"{name}: {us:7.2f} us", flush=True)
+
+
+if __name__ == "__main__" and "--final" in sys.argv:
+    main_final()

@@ -27,6 +27,11 @@ def _flatten(tree, prefix, arrays, manifest):
         entry = {"type": "matrix", "kind": tree.kind, "shape": list(tree.shape)}
         manifest[prefix] = entry
         for k, v in tree.arrays.items():
+            # "st"/"mnt" are derived gemv scale operands whose layout is
+            # tied to the kernel's M-tile choice — recomputed on load so a
+            # snapshot never pins a stale tiling
+            if k in ("st", "mnt"):
+                continue
             arr = np.asarray(v)
             if arr.dtype.name == "bfloat16":
                 entry.setdefault("bf16", []).append(k)
@@ -60,7 +65,13 @@ def _unflatten(prefix, arrays, manifest, jnp):
                 if k[len(pfx):] in bf16:
                     a = a.view(ml_dtypes.bfloat16)
                 mat_arrays[k[len(pfx):]] = jnp.asarray(a)
-        return Matrix(entry["kind"], tuple(entry["shape"]), mat_arrays)
+        mat = Matrix(entry["kind"], tuple(entry["shape"]), mat_arrays)
+        if "codes" in mat_arrays and "st" not in mat_arrays:
+            from ..models.matrix import recompute_gemv_arrays
+
+            m, k = mat.dims()
+            mat.arrays.update(recompute_gemv_arrays(entry["kind"], mat_arrays, m, k))
+        return mat
     if entry["type"] == "dict":
         return {k: _unflatten(f"{prefix}/{k}", arrays, manifest, jnp) for k in entry["keys"]}
     a = arrays[prefix]

@@ -25,7 +25,7 @@ from ..quant.ggml import GgmlDType
 from ..quant import formats as qf
 
 
-def _gemv_scale_arrays(m: int, k: int, scales, mins) -> dict:
+def _gemv_scale_arrays(m: int, k: int, scales, mins, kdim: int | None = None) -> dict:
     """Precomputed transposed position-ordered scale operands for the
     Pallas decode gemv (ops/pallas/matmul.py::_quant_gemv).
 
@@ -33,11 +33,13 @@ def _gemv_scale_arrays(m: int, k: int, scales, mins) -> dict:
     (position tile·BM + b·BM/4 + s ↔ logical row tile·BM + 4s + b); its
     scale operands must be [G, M] in that position order. Building them at
     load time keeps the (large) transpose out of callers' decode loops,
-    where XLA fails to hoist it.
+    where XLA fails to hoist it. ``kdim`` is the packed code-block K width
+    (k/2 for nibble-packed kinds); the M-tile choice depends on it and
+    must match the kernel's (same ``_gemv_block_m`` call).
     """
     from ..ops.pallas.matmul import _gemv_block_m
 
-    bm = _gemv_block_m(m)
+    bm = _gemv_block_m(m, kdim if kdim is not None else k)
     if bm is None:
         return {}
     g = scales.shape[-1]
@@ -50,6 +52,31 @@ def _gemv_scale_arrays(m: int, k: int, scales, mins) -> dict:
     if mins is not None:
         out["mnt"] = jnp.asarray(to_pos(mins))
     return out
+
+
+def recompute_gemv_arrays(kind: str, arrays: dict, m: int, k: int) -> dict:
+    """Rebuild the derived gemv scale operands ("st"/"mnt") for a Matrix
+    reconstructed from storage (snapshots drop them — their layout is
+    tied to the kernel M-tile choice). Handles layer-stacked arrays."""
+    if kind == "int8":
+        mn = np.asarray(arrays["mn"], np.float32)
+        mx = np.asarray(arrays["mx"], np.float32)
+        scales, mins = (mx - mn) / 255.0, mn
+    elif kind in ("qk", "qk_b", "qk_nomin"):
+        scales = np.asarray(arrays["scales"], np.float32)
+        mins = np.asarray(arrays["mins"], np.float32) if "mins" in arrays else None
+    else:
+        return {}
+    kdim = k // 2 if kind == "qk" else k
+    if scales.ndim == 2:
+        return _gemv_scale_arrays(m, k, scales, mins, kdim=kdim)
+    outs = [
+        _gemv_scale_arrays(m, k, scales[i], None if mins is None else mins[i], kdim=kdim)
+        for i in range(scales.shape[0])
+    ]
+    if not outs or not outs[0]:
+        return {}
+    return {key: jnp.stack([o[key] for o in outs]) for key in outs[0]}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -139,7 +166,7 @@ class Matrix:
                     "codes": jnp.asarray(codes),
                     "scales": jnp.asarray(scales),
                     "mins": jnp.asarray(mins),
-                    **_gemv_scale_arrays(m, k, scales, mins),
+                    **_gemv_scale_arrays(m, k, scales, mins, kdim=k // 2),
                 },
             )
         if dtype == GgmlDType.Q5_K:

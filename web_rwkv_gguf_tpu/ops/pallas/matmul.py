@@ -208,14 +208,19 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
             out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
 
 
-def _gemv_block_m(m: int) -> int | None:
+def _gemv_block_m(m: int, kdim: int | None = None) -> int | None:
     # Mosaic block rule: the out block's lane dim (BM/4) must be a multiple
-    # of 128 OR the block must span the whole array — so tile at 512 when
-    # possible, else take the whole matrix as a single block (VMEM budget
-    # enforced by the caller)
-    if m % 512 == 0:
-        return 512
-    if m % 8 == 0 and m <= 4096:
+    # of 128 OR the block must span the whole array. Prefer the LARGEST
+    # tile that fits the VMEM code-block budget: big-M matrices (the
+    # vocab head) run ~1.5x faster at bm=4096 than 512 (fewer grid steps,
+    # longer DMA bursts; measured 101 -> 68 us on [65536, 768] Q4_K,
+    # scripts/bench_head_variants.py). kdim is the code-block K width
+    # (k/2 for nibble-packed "qk"); None skips the VMEM check (legacy
+    # callers that check separately).
+    for c in (4096, 2048, 1024, 512):
+        if m % c == 0 and (kdim is None or c * kdim <= (2 << 20)):
+            return c
+    if m % 8 == 0 and m <= 4096 and (kdim is None or m * kdim <= (2 << 20)):
         return m
     return None
 
@@ -224,7 +229,7 @@ def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
                 gsize, pre_st=None, pre_mnt=None) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
-    bm = _gemv_block_m(m)
+    bm = _gemv_block_m(m, kdim)
     # scale operands in transposed position order. Prefer the precomputed
     # forms stored at load time (models/matrix.py stores "st"/"mnt"):
     # computing the transpose here puts a 2·M·G·4-byte copy INSIDE the
@@ -366,9 +371,8 @@ def quant_matmul(
     if (
         n <= 8
         and n * g <= 256
-        and _gemv_block_m(m) is not None
+        and _gemv_block_m(m, kdim) is not None
         and (kind != "qk" or g % 2 == 0)
-        and _gemv_block_m(m) * kdim <= (2 << 20)
         and n * g * kdim * 2 <= (4 << 20)
     ):
         pre_st = arrays.get("st")
