@@ -287,3 +287,75 @@ def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
     )
     tol = 2e-2 * np.abs(y_want).max()
     np.testing.assert_allclose(y_got, y_want, rtol=2e-2, atol=tol)
+
+
+def test_att_core7_step_matches_composition():
+    """Fused decode attention core == wkv7_step + group_norm + bonus +
+    gate on active lanes (masked lanes keep state; their dead y output is
+    unspecified, as in the XLA step)."""
+    from web_rwkv_gguf_tpu.ops import basic as B_
+    from web_rwkv_gguf_tpu.ops.pallas.wkv7 import att_core7_step
+
+    rng = np.random.default_rng(1)
+    B, H, K, V = 3, 4, 16, 16
+    eps = 64e-5
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    S = f(B, H, K, V)
+    r, k = f(B, H, K), f(B, H, K)
+    v = f(B, H, V)
+    w = jnp.exp(-jnp.abs(f(B, H, K)))
+    kk = f(B, H, K)
+    a, b = -kk, kk * 0.5
+    g = jax.nn.sigmoid(f(B, H, V))
+    gnw, gnb = 1 + 0.1 * f(H, V), 0.1 * f(H, V)
+    rk = f(H, K)
+    mask = jnp.asarray([True, True, False])
+
+    y, s1 = att_core7_step(S, r, w, k, v, a, b, g, gnw, gnb, rk, mask, eps)
+
+    m2 = mask[:, None]
+    y0, s_ref = W.wkv7_step(
+        S, r[:, None], w[:, None], k[:, None], v[:, None], a[:, None],
+        b[:, None], m2,
+    )
+    yr = B_.group_norm(y0.reshape(B, 1, H * V), gnw.reshape(-1),
+                       gnb.reshape(-1), H, eps)
+    yr = yr + W.wkv7_bonus(r[:, None], k[:, None], v[:, None], rk
+                           ).reshape(B, 1, H * V)
+    yr = (yr * g.reshape(B, 1, H * V)).reshape(B, H, V)
+
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(y)[:2], np.asarray(yr)[:2], atol=2e-5
+    )
+
+
+def test_forward_decode_step_uses_fused_core_consistently():
+    """T=1 B=1 decode step (fused core path) matches the same step with
+    the fused core disabled."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+    from web_rwkv_gguf_tpu.models import forward as fwd
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=32, head_size=8, n_vocab=64, lora_w=8, lora_a=8,
+        lora_g=8, lora_v=8, quant="q4k",  # fused core engages on quantized layers
+    )
+    state = init_state(info, 1)
+    toks = jnp.asarray([[5]], jnp.int32)
+    lens = jnp.asarray([1], jnp.int32)
+
+    x_fused, st_fused = forward_chunk(info, params, state, toks, lens)
+
+    orig = fwd._fused_att_core_ok
+    fwd._fused_att_core_ok = lambda *a, **k: False
+    try:
+        x_ref, st_ref = forward_chunk(info, params, state, toks, lens)
+    finally:
+        fwd._fused_att_core_ok = orig
+
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref), atol=2e-5)
+    for k in st_fused:
+        np.testing.assert_allclose(
+            np.asarray(st_fused[k]), np.asarray(st_ref[k]), atol=2e-5
+        )

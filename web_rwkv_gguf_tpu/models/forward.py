@@ -409,6 +409,26 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     return rh, wh, kh, vh, -kkh, kkh * _heads(a, H), g, v0
 
 
+def _fused_att_core_ok(hk, B, T, att) -> bool:
+    """The fused decode attention core (one Pallas launch for WKV step +
+    group_norm + bonus + gate) applies at single-lane decode with no
+    hooks between time-mix and gate, on quantized layers. At B>1 the
+    kernel's un-pipelined state DMA loses to the XLA composition
+    (scripts/bench_att_core.py: 1.9x at B=1, 0.5-0.9x at B=2..8); on
+    dense layers XLA fuses the whole composition into the surrounding
+    dense matmuls and the extra kernel boundary measures net-negative
+    (1795 -> 1714 tok/s on the bf16 0.1B)."""
+    if T != 1 or B != 1:
+        return False
+    if not (hk is _NOHOOK or not hk.hooks):
+        return False
+    if getattr(att.get("Wo"), "kind", "dense") == "dense":
+        return False
+    from ..ops.pallas import config as _pcfg
+
+    return _pcfg.use_pallas()
+
+
 def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
@@ -429,12 +449,22 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     rh, wh, kh, vh, ah, bh, g, v0 = _v7_mix_inputs(
         att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk
     )
-    y, wkv = _wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
-    y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
-    y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
-    y = hk("post_att_time_mix", x=y)["x"]
-    y = y * g
-    y = hk("post_att_gate", x=y)["x"]
+    if _fused_att_core_ok(hk, x.shape[0], x.shape[1], att):
+        from ..ops.pallas.wkv7 import att_core7_step
+
+        y1, wkv = att_core7_step(
+            lst["wkv"], rh[:, 0], wh[:, 0], kh[:, 0], vh[:, 0], ah[:, 0],
+            bh[:, 0], _heads(g, H)[:, 0], att["gn"]["w"].reshape(H, -1),
+            att["gn"]["b"].reshape(H, -1), att["r_k"], mask[:, 0], GN_EPS,
+        )
+        y = y1.reshape(x.shape[0], 1, -1)
+    else:
+        y, wkv = _wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
+        y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
+        y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
+        y = hk("post_att_time_mix", x=y)["x"]
+        y = y * g
+        y = hk("post_att_gate", x=y)["x"]
     x = x + att["Wo"].matmul(y)
     x = hk("post_att", x=x)["x"]
 
