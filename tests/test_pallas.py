@@ -359,3 +359,59 @@ def test_forward_decode_step_uses_fused_core_consistently():
         np.testing.assert_allclose(
             np.asarray(st_fused[k]), np.asarray(st_ref[k]), atol=2e-5
         )
+
+
+def test_pad_matrix_rows_equivalence():
+    """loader.pad_matrix_rows: padded rows dequantize to exactly 0, the
+    kernel output's real columns are unchanged, and small / already
+    aligned matrices pass through untouched."""
+    from web_rwkv_gguf_tpu.models.loader import pad_matrix_rows
+
+    rng = np.random.default_rng(3)
+    m, k = 1664, 256  # 1664 = 3.25 * 512 -> padded to 2048
+    w = (rng.standard_normal((m, k)) * 0.05).astype(np.float32)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, quantize_q4_k(w), (m, k))
+    padded = pad_matrix_rows(mat)
+    assert padded.dims() == (2048, k)
+    wd = np.asarray(padded.dequantize(jnp.float32))
+    assert (wd[m:] == 0).all()
+    np.testing.assert_array_equal(wd[:m], np.asarray(mat.dequantize(jnp.float32)))
+
+    x = jnp.asarray(rng.standard_normal((1, k)), jnp.bfloat16)
+    y0 = np.asarray(quant_matmul(x, mat.kind, mat.arrays, m, k))
+    y1 = np.asarray(quant_matmul(x, padded.kind, padded.arrays, 2048, k))
+    np.testing.assert_allclose(y1[:, :m], y0, rtol=1e-5, atol=1e-5)
+    assert np.abs(y1[:, m:]).max() == 0.0
+
+    small = Matrix.from_gguf_blocks(
+        GgmlDType.Q4_K, quantize_q4_k(w[:768]), (768, k))
+    assert pad_matrix_rows(small) is small  # m <= 2*512: whole-M is fine
+
+
+def test_padded_ffn_key_forward_matches():
+    """A tile-padded ffn key (loader.pad_matrix_rows, an opt-in utility —
+    measured net-negative as a default, see CLAUDE.md) must not change
+    the forward output: forward slices kf back to Wv's width."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, unroll_params
+    from web_rwkv_gguf_tpu.models.loader import pad_matrix_rows
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=128, head_size=32, n_vocab=64, n_hidden=1152,
+        lora_w=8, lora_a=8, lora_g=8, lora_v=8, quant="q4k",
+    )
+    state = init_state(info, 1)
+    toks = jnp.asarray([[3]], jnp.int32)
+    lens = jnp.asarray([1], jnp.int32)
+    x0, st0 = forward_chunk(info, params, state, toks, lens)
+
+    up = unroll_params(params)
+    for blk in up["blocks"]:
+        blk["ffn"]["Wk"] = pad_matrix_rows(blk["ffn"]["Wk"])
+    assert up["blocks"][0]["ffn"]["Wk"].dims() == (1536, 128)
+    x1, st1 = forward_chunk(info, up, state, toks, lens)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=2e-5)
+    for key in st0:
+        np.testing.assert_allclose(
+            np.asarray(st1[key]), np.asarray(st0[key]), atol=2e-5
+        )

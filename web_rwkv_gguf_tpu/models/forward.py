@@ -194,12 +194,19 @@ def logits_head(params: dict, x: jax.Array) -> jax.Array:
     return params["head"].matmul(x)
 
 
+def _trim_hidden(kf, wv):
+    """Slice the ffn key activation to Wv's contraction width — the key
+    matrix may carry tile-padded zero rows (loader.pad_matrix_rows)."""
+    kn = wv.dims()[1] if hasattr(wv, "dims") else wv.shape[-1]
+    return kf[..., :kn] if kf.shape[-1] != kn else kf
+
+
 def _ffn_v4(ffn, x, shift, mask, lengths):
     """Shared V4/V5 FFN: sq-relu key, sigmoid(r) gate
     (ref: v4.rs:725-785, channel_mix.wgsl:101-107)."""
     kx = B.token_shift(x, shift, ffn["mix_k"], reversed_mix=False)
     rx = B.token_shift(x, shift, ffn["mix_r"], reversed_mix=False)
-    k = B.squared_relu(ffn["Wk"].matmul(kx))
+    k = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx)), ffn["Wv"])
     v = ffn["Wv"].matmul(k)
     r = ffn["Wr"].matmul(rx)
     out = jax.nn.sigmoid(r) * v
@@ -352,7 +359,7 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_k"], reversed_mix=True)
     rx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_r"], reversed_mix=True)
-    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    kf = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx2)), ffn["Wv"])
     vf = ffn["Wv"].matmul(kf)
     rf = ffn["Wr"].matmul(rx2)
     x = x + jax.nn.sigmoid(rf) * vf
@@ -472,7 +479,7 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["x_k"], reversed_mix=True)
-    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    kf = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx2)), ffn["Wv"])
     kf = hk("post_ffn_activate", k=kf)["k"]
     vf = ffn["Wv"].matmul(kf)
     x = x + vf  # channel_mix_v7: out = v (ref: channel_mix.wgsl:101-102)

@@ -152,6 +152,34 @@ def _stack_matrices(mats: list[Matrix]):
     return Matrix(kind, shape, arrays)
 
 
+def pad_matrix_rows(mat, multiple: int = 512):
+    """Zero-pad a quantized matrix's output rows up to a multiple of the
+    gemv M-tile so the decode kernel grid-pipelines DMA with compute
+    instead of running the whole matrix as ONE un-pipelined grid step
+    (measured ~2x on the [2688, 768] ffn key: scripts/bench_gemv_ragged.py
+    and the stable-session numbers in CLAUDE.md). Padded rows dequantize
+    to exactly 0 (zero scales and offsets), so consumers only need to
+    slice the extra output columns (forward slices kf to Wv's K). Only
+    worthwhile for m > 2*multiple; small matrices run fine whole-M."""
+    from .matrix import Matrix, recompute_gemv_arrays
+
+    if not isinstance(mat, Matrix) or mat.kind not in (
+        "qk", "qk_b", "qk_nomin", "int8"
+    ):
+        return mat
+    m, k = mat.dims()
+    if m % multiple == 0 or m <= 2 * multiple:
+        return mat
+    pad = -(-m // multiple) * multiple - m
+    arrays = {
+        key: jnp.asarray(np.pad(np.asarray(a), ((0, pad), (0, 0))))
+        for key, a in mat.arrays.items()
+        if key not in ("st", "mnt")
+    }
+    arrays.update(recompute_gemv_arrays(mat.kind, arrays, m + pad, k))
+    return Matrix(mat.kind, (m + pad, k), arrays)
+
+
 def unroll_params(params: dict) -> dict:
     """Convert stacked ``[L, ...]`` blocks to per-layer list form.
 
@@ -170,6 +198,8 @@ def unroll_params(params: dict) -> dict:
     num_layer = leaves[0].shape[0]
     out = dict(params)
     # eager slicing materializes one device buffer per layer (no host trip)
+    # (NOT tile-padding the ffn key here: pad_matrix_rows measured net
+    # NEGATIVE end-to-end, see the dead-ends list in CLAUDE.md)
     out["blocks"] = [
         jax.tree.map(lambda a: a[i], blocks) for i in range(num_layer)
     ]

@@ -220,6 +220,11 @@ def _gemv_block_m(m: int, kdim: int | None = None) -> int | None:
     for c in (4096, 2048, 1024, 512):
         if m % c == 0 and (kdim is None or c * kdim <= (2 << 20)):
             return c
+    # A non-512-multiple M runs as ONE grid step with zero DMA/compute
+    # pipelining — fine for small matrices, ~2x off for m ~ 2688 (the ffn
+    # key); models.loader.pad_matrix_rows pads those to a 512 multiple at
+    # load. Ragged tiling (grid=ceil, masked edge tile) measured SLOWER
+    # than whole-M at m=768 (3.5 vs 2.0 us) — see scripts/bench_gemv_ragged.py.
     if m % 8 == 0 and m <= 4096 and (kdim is None or m * kdim <= (2 << 20)):
         return m
     return None
