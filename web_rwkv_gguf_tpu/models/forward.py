@@ -544,12 +544,17 @@ def forward_chunk(
     do_rescale = rescale is not None and rescale < L
 
     # per-layer (list) blocks — e.g. mixed per-layer quant formats —
-    # cannot lax.scan; run them through the unrolled path
-    if isinstance(blocks, list) and hooks is None:
+    # cannot lax.scan; run them through the unrolled path (same for
+    # per-layer list STATE, which only the unrolled path understands)
+    if (isinstance(blocks, list) or isinstance(state, list)) and hooks is None:
         hooks = {}
 
     if hooks is not None:
         x = HookCtx(hooks, -1)("post_embed", x=x)["x"]
+        # state may arrive as a per-layer LIST (the fused generation loop
+        # carries it that way so no [L, ...] stack/slice happens per step);
+        # the output state mirrors the input's form
+        state_is_list = isinstance(state, list)
         new_states = []
         v0 = jnp.zeros(x.shape[:-1] + (_v_width(blocks),), x.dtype)
         for i in range(L):
@@ -557,7 +562,7 @@ def forward_chunk(
                 blk = blocks[i]
             else:
                 blk = jax.tree.map(lambda a: a[i], blocks)
-            lst = jax.tree.map(lambda a: a[i], state)
+            lst = state[i] if state_is_list else jax.tree.map(lambda a: a[i], state)
             hk = HookCtx(hooks, i)
             if version == ModelVersion.V7:
                 x, v0, new = _layer_v7(
@@ -573,7 +578,10 @@ def forward_chunk(
             if do_rescale and (i + 1) % rescale == 0:
                 x = x * 0.5
             new_states.append(new)
-        new_state = jax.tree.map(lambda *xs: jnp.stack(xs), *new_states)
+        if state_is_list:
+            new_state = new_states
+        else:
+            new_state = jax.tree.map(lambda *xs: jnp.stack(xs), *new_states)
         x = HookCtx(hooks, -1)("pre_head", x=x)["x"]
         return x, new_state
 

@@ -43,20 +43,35 @@ def make_generator(
     def run(params, state, token, key):
         B = token.shape[0]
         ones = jnp.ones((B,), jnp.int32)
+        # per-layer list carry: the unrolled forward then reads/writes each
+        # layer's state directly instead of slicing/re-stacking the whole
+        # [L, ...] pytree every step (restacked once per segment). Only a
+        # win at B=1 (+8%); at B=8 the many-array carry measured 29%
+        # SLOWER than the stacked pytree (in-session A/B, 2026-08)
+        unstack = isinstance(params.get("blocks"), list) and B == 1
+        L = info.num_layer
+        if unstack:
+            state = [jax.tree.map(lambda a: a[i], state) for i in range(L)]
+        dummy_logits = jnp.zeros((B, info.num_vocab), jnp.float32)
 
         def body(carry, _):
-            state, token, key = carry
+            state, token, key, _ = carry
             x, state = forward_chunk(
                 info, params, state, token, ones, rescale=rescale
             )
             logits = logits_head(params, x[:, 0])
-            key, sub = jax.random.split(key)
+            if temperature > 0.0:
+                key, sub = jax.random.split(key)
+            else:
+                sub = key  # greedy: sample() ignores the key
             nxt = sample(logits, sub)[:, None]
-            return (state, nxt, key), (nxt[:, 0], logits)
+            return (state, nxt, key, logits), nxt[:, 0]
 
-        (state, token, key), (toks, logits) = jax.lax.scan(
-            body, (state, token, key), None, length=steps
+        (state, token, key, logits), toks = jax.lax.scan(
+            body, (state, token, key, dummy_logits), None, length=steps
         )
-        return toks.T, logits[-1], state, key
+        if unstack:
+            state = jax.tree.map(lambda *xs: jnp.stack(xs), *state)
+        return toks.T, logits, state, key
 
     return jax.jit(run, donate_argnums=(1,))
