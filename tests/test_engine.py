@@ -249,3 +249,31 @@ def test_engine_full_option_across_chunks(model):
         xs.append(np.asarray(x[0, : len(seg)]))
     want = np.asarray(logits_head(params, jnp.asarray(np.concatenate(xs))))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_generator_stochastic_sampling():
+    """make_generator with temperature/top_k: the RNG key advances, token
+    ids are valid, and two different keys give (almost surely) different
+    streams on random weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models import init_state, unroll_params
+    from web_rwkv_gguf_tpu.models.generate import make_generator
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=32, head_size=8, n_vocab=64,
+        lora_w=8, lora_a=8, lora_g=8, lora_v=8,
+    )
+    params = unroll_params(params)
+    gen = make_generator(info, steps=8, temperature=0.8, top_k=5)
+    state = init_state(info, 1)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    k0 = jax.random.key(0)
+    toks_a, logits, _, k1 = gen(params, state, tok, k0)
+    assert toks_a.shape == (1, 8) and logits.shape == (1, 64)
+    assert ((toks_a >= 0) & (toks_a < 64)).all()
+    assert not jax.numpy.array_equal(jax.random.key_data(k0), jax.random.key_data(k1))
+    toks_b, _, _, _ = gen(params, init_state(info, 1), tok, jax.random.key(7))
+    assert not (toks_a == toks_b).all()

@@ -196,8 +196,14 @@ def logits_head(params: dict, x: jax.Array) -> jax.Array:
 
 def _trim_hidden(kf, wv):
     """Slice the ffn key activation to Wv's contraction width — the key
-    matrix may carry tile-padded zero rows (loader.pad_matrix_rows)."""
-    kn = wv.dims()[1] if hasattr(wv, "dims") else wv.shape[-1]
+    matrix may carry tile-padded zero rows (loader.pad_matrix_rows).
+    Wrapped matrices without a shape (TP adapters) are never padded."""
+    if hasattr(wv, "dims"):
+        kn = wv.dims()[1]
+    elif hasattr(wv, "shape"):
+        kn = wv.shape[-1]
+    else:
+        return kf
     return kf[..., :kn] if kf.shape[-1] != kn else kf
 
 

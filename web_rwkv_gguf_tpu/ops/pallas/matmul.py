@@ -159,22 +159,43 @@ def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
 
 
 def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
-                 offset_sign, signed_codes):
+                 offset_sign, signed_codes, kdim, gsize):
     refs = list(rest)
     mnt_ref = refs.pop(0) if has_offset else None
-    sxt_ref = refs.pop(0) if has_offset else None
-    if kind == "qk":
-        xlo_ref, xhi_ref = refs.pop(0), refs.pop(0)
-    else:
-        x_ref = refs.pop(0)
+    x_ref = refs.pop(0)  # [N, K] bf16 (raw input row(s))
     out_ref = refs.pop(0)
 
     w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [BM/4, kdim]
     q = bm // 4
 
-    def dot(xm, part):
+    # per-group masked-x operands and group sums, built IN-kernel: as XLA
+    # producer ops these cost ~1 us of launch overhead per call — a third
+    # of a small gemv's whole budget at decode — vs trivial VPU work here
+    groups = gh if kind == "qk" else g
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 0)
+    ).astype(jnp.bfloat16)
+    x = x_ref[:]
+
+    def group_expand(xpart):  # [N, kdim] → [N*groups, kdim] masked copies
+        x3 = jnp.expand_dims(xpart, 1)  # [N, 1, kdim]
+        return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * groups, kdim)
+
+    if kind == "qk":
+        xlo = group_expand(x[:, :kdim])
+        xhi = group_expand(x[:, kdim:])
+        if has_offset:
+            slo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+            shi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        xm = group_expand(x)
+        if has_offset:
+            sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+
+    def dot(xs, part):
         return jax.lax.dot_general(
-            xm, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            xs, part, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -182,14 +203,14 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
         if kind == "qk":
             lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
             hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
-            plo = dot(xlo_ref[:], lo)  # [N*Gh, BM/4]
-            phi = dot(xhi_ref[:], hi)
+            plo = dot(xlo, lo)  # [N*Gh, BM/4]
+            phi = dot(xhi, hi)
         else:
             if signed_codes:
                 byte = (w << (8 * (3 - b))) >> 24  # arithmetic: sign-extends
             else:
                 byte = (w >> (8 * b)) & 0xFF
-            p_all = dot(x_ref[:], byte.astype(jnp.float32).astype(jnp.bfloat16))
+            p_all = dot(xm, byte.astype(jnp.float32).astype(jnp.bfloat16))
 
         sblk = st_ref[:, b * q : (b + 1) * q]  # [G, BM/4]
         mnblk = mnt_ref[:, b * q : (b + 1) * q] if has_offset else None
@@ -203,7 +224,13 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
                 p = p_all[nn * g : (nn + 1) * g]
             y = jnp.sum(p * sblk, axis=0, keepdims=True)  # [1, BM/4]
             if has_offset:
-                sx = sxt_ref[:, nn : nn + 1]  # [G, 1]
+                if kind == "qk":
+                    sx = jnp.concatenate(
+                        [slo[nn * gh : (nn + 1) * gh], shi[nn * gh : (nn + 1) * gh]],
+                        axis=0,
+                    )  # [G, 1]
+                else:
+                    sx = sxm[nn * g : (nn + 1) * g]
                 y = y + offset_sign * jnp.sum(mnblk * sx, axis=0, keepdims=True)
             out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
 
@@ -258,38 +285,24 @@ def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
     has_offset = offsets is not None
     if has_offset:
         mnt = pre_mnt if pre_mnt is not None else to_pos(offsets)
-        # true per-group sums of x (exact, f32)
-        sxt = x.astype(jnp.float32).reshape(n, g, gsize).sum(-1).T  # [G, N]
-        operands += [mnt, sxt]
-        in_specs += [
-            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-
-    xb = x.astype(jnp.bfloat16)
-    gh = g // 2
-    if kind == "qk":
-        half = k // 2
-        e = jnp.asarray(_expand_matrix(gsize, half, np.float32), jnp.bfloat16)
-        xlo = (xb[:, None, :half] * e[None]).reshape(n * gh, half)
-        xhi = (xb[:, None, half:] * e[None]).reshape(n * gh, half)
-        operands += [xlo, xhi]
-        in_specs += [
-            pl.BlockSpec((n * gh, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * gh, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-    else:
-        e = jnp.asarray(_expand_matrix(gsize, k, np.float32), jnp.bfloat16)
-        xm = (xb[:, None, :] * e[None]).reshape(n * g, k)
-        operands.append(xm)
+        operands.append(mnt)
         in_specs.append(
-            pl.BlockSpec((n * g, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
+
+    # raw input row(s): the masked per-group expansions and group sums are
+    # built IN-kernel (their XLA producer ops measured ~1 us/call — a third
+    # of a small gemv's decode budget)
+    gh = g // 2
+    operands.append(x.astype(jnp.bfloat16))
+    in_specs.append(
+        pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
 
     kernel = functools.partial(
         _gemv_kernel, kind=kind, n=n, g=g, gh=gh, bm=bm,
         has_offset=has_offset, offset_sign=offset_sign,
-        signed_codes=codes.dtype == jnp.int8,
+        signed_codes=codes.dtype == jnp.int8, kdim=kdim, gsize=gsize,
     )
     out = pl.pallas_call(
         kernel,
