@@ -290,33 +290,39 @@ def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
 
 
 def test_att_core7_step_matches_composition():
-    """Fused decode attention core == wkv7_step + group_norm + bonus +
-    gate on active lanes (masked lanes keep state; their dead y output is
-    unspecified, as in the XLA step)."""
+    """Fused decode attention core (raw inputs: decay/iclr pre-activation,
+    key pre-control) == the XLA composition act_w + l2norm + control-k +
+    wkv7_step + group_norm + bonus + gate on active lanes (masked lanes
+    keep state; their dead y output is unspecified, as in the XLA step)."""
     from web_rwkv_gguf_tpu.ops import basic as B_
     from web_rwkv_gguf_tpu.ops.pallas.wkv7 import att_core7_step
 
     rng = np.random.default_rng(1)
     B, H, K, V = 3, 4, 16, 16
-    eps = 64e-5
+    eps, l2_eps = 64e-5, 1e-12
     f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     S = f(B, H, K, V)
-    r, k = f(B, H, K), f(B, H, K)
+    r, k_raw, w_raw, a_raw = f(B, H, K), f(B, H, K), f(B, H, K), f(B, H, K)
     v = f(B, H, V)
-    w = jnp.exp(-jnp.abs(f(B, H, K)))
-    kk = f(B, H, K)
-    a, b = -kk, kk * 0.5
     g = jax.nn.sigmoid(f(B, H, V))
+    k_k, k_a = f(H, K), f(H, K)
     gnw, gnb = 1 + 0.1 * f(H, V), 0.1 * f(H, V)
     rk = f(H, K)
     mask = jnp.asarray([True, True, False])
 
-    y, s1 = att_core7_step(S, r, w, k, v, a, b, g, gnw, gnb, rk, mask, eps)
+    y, s1 = att_core7_step(S, r, w_raw, k_raw, v, a_raw, g, k_k, k_a,
+                           gnw, gnb, rk, mask, eps, l2_eps)
 
+    # XLA composition (the non-fused path's math)
+    w = W.wkv7_act_w(w_raw)
+    a = jax.nn.sigmoid(a_raw)
+    kk = B_.l2_normalize(k_raw * k_k[None], l2_eps)
+    k = k_raw * (1.0 + (a - 1.0) * k_a[None])
+    ah, bh = -kk, kk * a
     m2 = mask[:, None]
     y0, s_ref = W.wkv7_step(
-        S, r[:, None], w[:, None], k[:, None], v[:, None], a[:, None],
-        b[:, None], m2,
+        S, r[:, None], w[:, None], k[:, None], v[:, None], ah[:, None],
+        bh[:, None], m2,
     )
     yr = B_.group_norm(y0.reshape(B, 1, H * V), gnw.reshape(-1),
                        gnb.reshape(-1), H, eps)

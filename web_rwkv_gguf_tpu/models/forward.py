@@ -378,6 +378,23 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     return x, new
 
 
+def _lora(x_in, w_a, w_b, mid_act=None):
+    z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
+    if mid_act is not None:
+        z = mid_act(z)
+    return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
+
+
+def _v7_value_residual(att, vx, v, v0, layer_idx):
+    """Value residual from layer 0 (ref: v7.rs:895-921)."""
+    v_mix = jax.nn.sigmoid(att["v0"][None, None] + _lora(vx, att["v1"], att["v2"]))
+    v_res = v + v_mix * (v0 - v)
+    is_first = layer_idx == 0
+    v = jnp.where(is_first, v, v_res)
+    v0 = jnp.where(is_first, v, v0)
+    return v, v0
+
+
 def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     """Projections + inner-LoRA adapters + control-k + value residual:
     the shared middle of the V7 attention block (used by both the
@@ -388,12 +405,7 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     t = hk("post_att_linear", r=r, k=k, v=v)
     r, k, v = t["r"], t["k"], t["v"]
 
-    def lora(x_in, w_a, w_b, mid_act=None):
-        z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
-        if mid_act is not None:
-            z = mid_act(z)
-        return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
-
+    lora = _lora
     w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
     a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
     g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
@@ -408,12 +420,7 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     t = hk("post_att_control", k=k, kk=kk, a=a, w=w_in)
     k, kk, a = t["k"], t["kk"], t["a"]
 
-    # value residual from layer 0 (ref: v7.rs:895-921)
-    v_mix = jax.nn.sigmoid(att["v0"][None, None] + lora(vx, att["v1"], att["v2"]))
-    v_res = v + v_mix * (v0 - v)
-    is_first = layer_idx == 0
-    v = jnp.where(is_first, v, v_res)
-    v0 = jnp.where(is_first, v, v0)
+    v, v0 = _v7_value_residual(att, vx, v, v0, layer_idx)
     v = hk("post_att_value_residual", v=v)["v"]
 
     w_dec = W.wkv7_act_w(w_in)
@@ -459,19 +466,32 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     t = hk("post_att_token_shift", rx=rx, wx=wx, kx=kx, vx=vx, ax=ax, gx=gx)
     rx, wx, kx, vx, ax, gx = t["rx"], t["wx"], t["kx"], t["vx"], t["ax"], t["gx"]
 
-    rh, wh, kh, vh, ah, bh, g, v0 = _v7_mix_inputs(
-        att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk
-    )
     if _fused_att_core_ok(hk, x.shape[0], x.shape[1], att):
+        # raw projections + adapters only; activation/l2-norm/control-k/
+        # WKV/group-norm/bonus/gate all run inside one Pallas launch
         from ..ops.pallas.wkv7 import att_core7_step
 
+        r = att["Wr"].matmul(rx)
+        k = att["Wk"].matmul(kx)
+        v = att["Wv"].matmul(vx)
+        w_in = att["w0"][None, None] + _lora(wx, att["w1"], att["w2"], jnp.tanh)
+        a_in = att["a0"][None, None] + _lora(ax, att["a1"], att["a2"])
+        g = _lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+        v, v0 = _v7_value_residual(att, vx, v, v0, layer_idx)
+        hs = att["r_k"].shape[-1]
         y1, wkv = att_core7_step(
-            lst["wkv"], rh[:, 0], wh[:, 0], kh[:, 0], vh[:, 0], ah[:, 0],
-            bh[:, 0], _heads(g, H)[:, 0], att["gn"]["w"].reshape(H, -1),
-            att["gn"]["b"].reshape(H, -1), att["r_k"], mask[:, 0], GN_EPS,
+            lst["wkv"], _heads(r, H)[:, 0], _heads(w_in, H)[:, 0],
+            _heads(k, H)[:, 0], _heads(v, H)[:, 0], _heads(a_in, H)[:, 0],
+            _heads(g, H)[:, 0], att["k_k"].reshape(H, hs),
+            att["k_a"].reshape(H, hs), att["gn"]["w"].reshape(H, -1),
+            att["gn"]["b"].reshape(H, -1), att["r_k"], mask[:, 0],
+            GN_EPS, L2_EPS,
         )
         y = y1.reshape(x.shape[0], 1, -1)
     else:
+        rh, wh, kh, vh, ah, bh, g, v0 = _v7_mix_inputs(
+            att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk
+        )
         y, wkv = _wkv7(lst["wkv"], rh, wh, kh, vh, ah, bh, mask)
         y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
         y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
