@@ -416,8 +416,62 @@ def test_padded_ffn_key_forward_matches():
         blk["ffn"]["Wk"] = pad_matrix_rows(blk["ffn"]["Wk"])
     assert up["blocks"][0]["ffn"]["Wk"].dims() == (1536, 128)
     x1, st1 = forward_chunk(info, up, state, toks, lens)
-    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-2)
     for key in st0:
         np.testing.assert_allclose(
-            np.asarray(st1[key]), np.asarray(st0[key]), atol=2e-5
+            np.asarray(st1[key]), np.asarray(st0[key]), atol=1e-2
+        )
+
+
+def test_quant_gemv_grouped_matches_individual():
+    """Grouped r/k/v gemv (one launch, per-grid-step input selection) ==
+    three individual matmuls."""
+    from web_rwkv_gguf_tpu.models.loader import group_gemv_matrices
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import quant_gemv_grouped
+
+    rng = np.random.default_rng(5)
+    m, k = 128, 256
+    mats, xs, want = [], [], []
+    for i in range(3):
+        w = (rng.standard_normal((m, k)) * 0.05).astype(np.float32)
+        mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, quantize_q4_k(w), (m, k))
+        x = jnp.asarray(rng.standard_normal((1, k)), jnp.bfloat16)
+        mats.append(mat)
+        xs.append(x)
+        want.append(np.asarray(quant_matmul(x, mat.kind, mat.arrays, m, k)))
+    grouped = group_gemv_matrices(mats)
+    assert grouped is not None
+    y = np.asarray(quant_gemv_grouped(jnp.stack(xs)[:, 0][:, None],
+                                      "qk", grouped, m, k))
+    for i in range(3):
+        np.testing.assert_allclose(y[i], want[i], rtol=1e-5, atol=1e-5)
+
+
+def test_unrolled_grouped_rkv_forward_matches_stacked():
+    """unroll_params adds the grouped r/k/v arrays; the decode step must
+    match the stacked (ungrouped) forward."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, unroll_params
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=128, head_size=32, n_vocab=64, lora_w=8, lora_a=8,
+        lora_g=8, lora_v=8, quant="q4k",
+    )
+    state = init_state(info, 1)
+    toks = jnp.asarray([[3]], jnp.int32)
+    lens = jnp.asarray([1], jnp.int32)
+    x0, st0 = forward_chunk(info, params, state, toks, lens)
+
+    # NOTE tolerance: in interpret mode the stacked baseline routes
+    # projections through the XLA group-factored matmul (bf16 code
+    # contraction) while the unrolled path runs the exact-f32-scale
+    # grouped Pallas kernel — a few-1e-3 legitimate rounding gap. The
+    # test guards wiring/layout (which would produce O(1) garbage).
+    up = unroll_params(params)
+    assert "Wrkv_g" in up["blocks"][0]["att"]
+    x1, st1 = forward_chunk(info, up, state, toks, lens)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-2)
+    for key in st0:
+        np.testing.assert_allclose(
+            np.asarray(st1[key]), np.asarray(st0[key]), atol=1e-2
         )

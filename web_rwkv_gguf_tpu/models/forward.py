@@ -471,9 +471,18 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
         # WKV/group-norm/bonus/gate all run inside one Pallas launch
         from ..ops.pallas.wkv7 import att_core7_step
 
-        r = att["Wr"].matmul(rx)
-        k = att["Wk"].matmul(kx)
-        v = att["Wv"].matmul(vx)
+        if "Wrkv_g" in att:
+            from ..ops.pallas.matmul import quant_gemv_grouped
+
+            mdim, kdim_c = att["Wr"].dims()
+            xs = jnp.stack([rx[:, 0], kx[:, 0], vx[:, 0]]).astype(jnp.bfloat16)
+            rkv = quant_gemv_grouped(xs, att["Wr"].kind, att["Wrkv_g"],
+                                     mdim, kdim_c)
+            r, k, v = (rkv[i][:, None] for i in range(3))
+        else:
+            r = att["Wr"].matmul(rx)
+            k = att["Wk"].matmul(kx)
+            v = att["Wv"].matmul(vx)
         w_in = att["w0"][None, None] + _lora(wx, att["w1"], att["w2"], jnp.tanh)
         a_in = att["a0"][None, None] + _lora(ax, att["a1"], att["a2"])
         g = _lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)

@@ -180,6 +180,37 @@ def pad_matrix_rows(mat, multiple: int = 512):
     return Matrix(mat.kind, (m + pad, k), arrays)
 
 
+def group_gemv_matrices(mats: list) -> dict | None:
+    """Stack same-shape quantized matrices for the grouped decode gemv
+    (ops/pallas/matmul.py::quant_gemv_grouped): codes row-concatenated,
+    each matrix's position-ordered scale operands stacked. Returns None
+    when the matrices aren't uniformly eligible (different kinds/shapes,
+    no precomputed scale operands, or a tiled — non-whole-M — layout)."""
+    from ..ops.pallas.matmul import _gemv_block_m
+    from .matrix import Matrix
+
+    if not all(isinstance(mt, Matrix) for mt in mats):
+        return None
+    kind = mats[0].kind
+    if kind not in ("qk", "qk_b", "qk_nomin", "int8"):
+        return None
+    m, k = mats[0].dims()
+    if any(mt.kind != kind or mt.dims() != (m, k) for mt in mats):
+        return None
+    if any("st" not in mt.arrays for mt in mats):
+        return None
+    kdim = mats[0].arrays["codes"].shape[-1]
+    if _gemv_block_m(m, kdim) != m:
+        return None  # grouped kernel serves one whole matrix per grid step
+    out = {
+        "codes": jnp.concatenate([mt.arrays["codes"] for mt in mats]),
+        "st": jnp.stack([mt.arrays["st"] for mt in mats]),
+    }
+    if "mnt" in mats[0].arrays:
+        out["mnt"] = jnp.stack([mt.arrays["mnt"] for mt in mats])
+    return out
+
+
 def unroll_params(params: dict) -> dict:
     """Convert stacked ``[L, ...]`` blocks to per-layer list form.
 
@@ -203,6 +234,15 @@ def unroll_params(params: dict) -> dict:
     out["blocks"] = [
         jax.tree.map(lambda a: a[i], blocks) for i in range(num_layer)
     ]
+    # grouped r/k/v projection for the fused decode path: one kernel
+    # launch instead of three (duplicates the codes — a few MB of HBM —
+    # so prefill keeps the per-matrix form)
+    for blk in out["blocks"]:
+        att = blk.get("att")
+        if att and all(key in att for key in ("Wr", "Wk", "Wv")):
+            grouped = group_gemv_matrices([att["Wr"], att["Wk"], att["Wv"]])
+            if grouped is not None:
+                att["Wrkv_g"] = grouped
     return out
 
 

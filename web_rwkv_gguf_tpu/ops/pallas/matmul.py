@@ -327,6 +327,144 @@ def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
     )
 
 
+def _gemv_grouped_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm,
+                         has_offset, offset_sign, signed_codes, kdim, gsize):
+    """Grouped variant of `_gemv_kernel`: grid step i serves matrix i of a
+    stack of same-shape matrices, each with its OWN input row — the
+    st/x/out operands carry a leading group axis indexed by the grid."""
+    refs = list(rest)
+    mnt_ref = refs.pop(0) if has_offset else None
+    x_ref = refs.pop(0)  # [1, N, K]
+    out_ref = refs.pop(0)  # [1, 4N, BM/4]
+
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [BM/4, kdim]
+    q = bm // 4
+    groups = gh if kind == "qk" else g
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 0)
+    ).astype(jnp.bfloat16)
+    x = x_ref[0]
+
+    def group_expand(xpart):
+        x3 = jnp.expand_dims(xpart, 1)
+        return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * groups, kdim)
+
+    if kind == "qk":
+        xlo = group_expand(x[:, :kdim])
+        xhi = group_expand(x[:, kdim:])
+        if has_offset:
+            slo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+            shi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        xm = group_expand(x)
+        if has_offset:
+            sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+
+    def dot(xs, part):
+        return jax.lax.dot_general(
+            xs, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for b in range(4):
+        if kind == "qk":
+            lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+            plo = dot(xlo, lo)
+            phi = dot(xhi, hi)
+        else:
+            if signed_codes:
+                byte = (w << (8 * (3 - b))) >> 24
+            else:
+                byte = (w >> (8 * b)) & 0xFF
+            p_all = dot(xm, byte.astype(jnp.float32).astype(jnp.bfloat16))
+
+        sblk = st_ref[0, :, b * q : (b + 1) * q]
+        mnblk = mnt_ref[0, :, b * q : (b + 1) * q] if has_offset else None
+        for nn in range(n):
+            if kind == "qk":
+                p = jnp.concatenate(
+                    [plo[nn * gh : (nn + 1) * gh], phi[nn * gh : (nn + 1) * gh]],
+                    axis=0,
+                )
+            else:
+                p = p_all[nn * g : (nn + 1) * g]
+            y = jnp.sum(p * sblk, axis=0, keepdims=True)
+            if has_offset:
+                if kind == "qk":
+                    sx = jnp.concatenate(
+                        [slo[nn * gh : (nn + 1) * gh], shi[nn * gh : (nn + 1) * gh]],
+                        axis=0,
+                    )
+                else:
+                    sx = sxm[nn * g : (nn + 1) * g]
+                y = y + offset_sign * jnp.sum(mnblk * sx, axis=0, keepdims=True)
+            out_ref[0, nn * 4 + b : nn * 4 + b + 1, :] = y
+
+
+def quant_gemv_grouped(xs: jax.Array, kind: str, grouped: dict, m: int,
+                       k: int) -> jax.Array:
+    """``y[i, n, m] = xs[i] @ W_i^T`` for a stack of same-shape quantized
+    matrices, ONE kernel launch with grid step i serving matrix i (its
+    codes tile and its own input row) — used for the decode r/k/v
+    projections (3 launches + 3 untangles + 3 operand preps → 1).
+
+    ``grouped`` holds ``codes`` [G*M, kdim] (row-concatenated) and
+    position-ordered ``st``/``mnt`` [G, g, M] (whole-M tile per matrix,
+    i.e. each matrix's load-time "st" stacked). Built by
+    models.loader.group_gemv_matrices.
+    """
+    gm, n, _ = xs.shape
+    codes = grouped["codes"]
+    st = grouped["st"]
+    g = st.shape[1]
+    gsize = k // g
+    kdim = codes.shape[-1]
+    has_offset = "mnt" in grouped
+    operands = [codes, st]
+    in_specs = [
+        pl.BlockSpec((m, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_offset:
+        operands.append(grouped["mnt"])
+        in_specs.append(
+            pl.BlockSpec((1, g, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    operands.append(xs.astype(jnp.bfloat16))
+    in_specs.append(
+        pl.BlockSpec((1, n, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
+    kernel = functools.partial(
+        _gemv_grouped_kernel, kind=kind, n=n, g=g, gh=g // 2, bm=m,
+        has_offset=has_offset, offset_sign=-1.0 if kind != "int8" else 1.0,
+        signed_codes=codes.dtype == jnp.int8, kdim=kdim, gsize=gsize,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(gm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 4 * n, m // 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((gm, 4 * n, m // 4), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gm * n * m * k,
+            bytes_accessed=codes.size + st.size * 4 * 2 + gm * n * k * 2
+            + gm * n * m * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+    # undo the per-matrix position interleave
+    return (
+        out.reshape(gm, n, 4, m // 4)
+        .transpose(0, 1, 3, 2)
+        .reshape(gm, n, m)
+    )
+
+
 def _pick_slab(block_m: int, k: int, gsize: int) -> int:
     """Largest K-slab (multiple of lcm(gsize, 128)) within the VMEM budget."""
     step = gsize
