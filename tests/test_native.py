@@ -71,3 +71,43 @@ def test_native_repack_q4k_matches_numpy(M, K):
         native._tried = False
     for g, w_ in zip(got, want):
         np.testing.assert_array_equal(g, w_)
+
+
+@requires_native
+def test_native_tokenizer_matches_python():
+    from web_rwkv_gguf_tpu.utils.tokenizer import Tokenizer
+
+    # vocab with multi-byte tokens, overlapping prefixes, and all single
+    # bytes (so any input encodes); mirror of the reference's world-vocab
+    # shape (ref: src/tokenizer.rs)
+    vocab = {str(i): [i] for i in range(256)}
+    extra = ["he", "hel", "hello", "hello ", "wor", "world", "ab", "abc",
+             "é", "你好", "  ", "the ", "ing", "tion"]
+    for j, s in enumerate(extra):
+        vocab[str(256 + j)] = s
+    tok = Tokenizer(vocab)
+    assert tok._native is not None
+
+    rng = np.random.default_rng(7)
+    cases = [
+        "",
+        "hello world",
+        "the theing tiontion hello  abc ab",
+        "你好, éléphant!",
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+    ]
+    for case in cases:
+        data = case.encode() if isinstance(case, str) else case
+        assert tok._native.encode(data).tolist() == tok._encode_py(data)
+
+
+@requires_native
+def test_native_tokenizer_error_offset_matches_python():
+    from web_rwkv_gguf_tpu.utils.tokenizer import Tokenizer, TokenizerError
+
+    tok = Tokenizer({"0": "a", "1": "ab"})
+    assert tok._native is not None
+    with pytest.raises(TokenizerError, match="offset 2"):
+        tok.encode("abx")
+    with pytest.raises(ValueError, match="offset 2"):
+        tok._encode_py(b"abx")

@@ -20,24 +20,25 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_SRC = Path(__file__).parent / "dequant.cpp"
+_SRCS = [Path(__file__).parent / "dequant.cpp",
+         Path(__file__).parent / "tokenizer.cpp"]
 _lib = None
 _tried = False
 
 
 def _build() -> ctypes.CDLL | None:
-    src = _SRC.read_text()
+    src = "".join(p.read_text() for p in _SRCS)
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     cache = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
     cache = cache / "web_rwkv_gguf_tpu"
     cache.mkdir(parents=True, exist_ok=True)
-    so = cache / f"dequant_{tag}.so"
+    so = cache / f"native_{tag}.so"
     if not so.exists():
         with tempfile.TemporaryDirectory() as td:
-            tmp = Path(td) / "dequant.so"
+            tmp = Path(td) / "native.so"
             cmd = [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                str(_SRC), "-o", str(tmp),
+                *map(str, _SRCS), "-o", str(tmp),
             ]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(tmp, so)
@@ -63,6 +64,17 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        _lib.tok_build.restype = ctypes.c_void_p
+        _lib.tok_build.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib.tok_free.restype = None
+        _lib.tok_free.argtypes = [ctypes.c_void_p]
+        _lib.tok_encode.restype = ctypes.c_int64
+        _lib.tok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
     except Exception as e:  # pragma: no cover - toolchain-dependent
         log.warning("native dequant unavailable (%s); using numpy", e)
         _lib = None
@@ -85,6 +97,60 @@ def dequantize(kind: str, data, num_elements: int) -> np.ndarray | None:
         buf.ctypes.data, n_blocks, out.ctypes.data
     )
     return out[:num_elements]
+
+
+class NativeVocab:
+    """Handle to a C++-side vocab table (see tokenizer.cpp). Returns
+    None from :func:`build_vocab` when the native library is missing, so
+    callers always keep the Python fallback."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown order
+        try:
+            if self._handle:
+                self._lib.tok_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+    def encode(self, data: bytes) -> np.ndarray:
+        """Greedy longest-match encode of raw bytes → int32 token ids.
+        Raises ValueError at the same unmatchable offset the Python
+        implementation would."""
+        n = len(data)
+        cap = max(16, n)  # tokens never outnumber bytes
+        out = np.empty(cap, np.int32)
+        buf = np.frombuffer(data, np.uint8) if n else np.empty(0, np.uint8)
+        count = self._lib.tok_encode(
+            self._handle, buf.ctypes.data if n else None, n,
+            out.ctypes.data, cap,
+        )
+        if count < 0:
+            pos = -count - 1
+            raise ValueError(
+                f"no matching token at byte offset {pos} ({data[pos:pos+8]!r})"
+            )
+        return out[:count].copy()
+
+
+def build_vocab(entries) -> NativeVocab | None:
+    """Build the native vocab from ``[(bytes, id), ...]``; None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = b"".join(b for b, _ in entries)
+    offsets = np.zeros(len(entries) + 1, np.int64)
+    np.cumsum([len(b) for b, _ in entries], out=offsets[1:])
+    ids = np.asarray([tid for _, tid in entries], np.int32)
+    handle = lib.tok_build(
+        len(entries), blob if blob else None, offsets.ctypes.data,
+        ids.ctypes.data,
+    )
+    return NativeVocab(lib, handle) if handle else None
 
 
 def repack_q4_k(data, m: int, k: int):

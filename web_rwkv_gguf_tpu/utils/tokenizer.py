@@ -32,6 +32,17 @@ class Tokenizer:
                 b = bytes(pattern)
             entries.append((b, tid))
 
+        # native (C++) encode fast path — the hot loop of the reference's
+        # Rust tokenizer (ref: src/tokenizer.rs:104-135) lives in
+        # native/tokenizer.cpp; the Python loop below stays as the
+        # always-available fallback and the parity reference
+        try:
+            from ..native import build_vocab
+
+            self._native = build_vocab(entries)
+        except Exception:
+            self._native = None
+
         max_id = max((tid for _, tid in entries), default=0)
         self._id_to_bytes: list[bytes] = [b""] * (max_id + 1)
         self._bytes_to_id: dict[bytes, int] = {}
@@ -57,6 +68,16 @@ class Tokenizer:
 
     def encode(self, text: str | bytes) -> list[int]:
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        if self._native is not None:
+            try:
+                return self._native.encode(data).tolist()
+            except ValueError as e:
+                raise TokenizerError(str(e)) from None
+        return self._encode_py(data)
+
+    def _encode_py(self, data: bytes) -> list[int]:
+        """Pure-Python greedy matcher (fallback + parity reference for
+        the native encoder, see tests/test_native.py)."""
         out: list[int] = []
         pos = 0
         n = len(data)
