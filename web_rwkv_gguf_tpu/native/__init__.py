@@ -76,7 +76,10 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64,
         ]
     except Exception as e:  # pragma: no cover - toolchain-dependent
-        log.warning("native dequant unavailable (%s); using numpy", e)
+        log.warning(
+            "native library unavailable (dequant+tokenizer fast paths "
+            "disabled, using pure-Python fallbacks): %s", e
+        )
         _lib = None
     return _lib
 

@@ -37,8 +37,11 @@ extern "C" {
 void* tok_build(int64_t n, const uint8_t* blob, const int64_t* offsets,
                 const int32_t* ids) {
   auto* v = new Vocab();
-  v->blob.assign(reinterpret_cast<const char*>(blob),
-                 static_cast<size_t>(offsets[n]));
+  // guard: assign(nullptr, 0) is UB even for length 0 (empty vocab blob)
+  if (blob != nullptr && offsets[n] > 0) {
+    v->blob.assign(reinterpret_cast<const char*>(blob),
+                   static_cast<size_t>(offsets[n]));
+  }
   v->to_id.reserve(static_cast<size_t>(n) * 2);
   v->lengths.resize(65536);
   for (int64_t i = 0; i < n; i++) {
