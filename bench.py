@@ -151,15 +151,15 @@ def main():
 
     log(f"device: {jax.devices()[0]}")
 
-    from web_rwkv_gguf_tpu.models import unroll_params
+    from web_rwkv_gguf_tpu.models import prepare_decode
 
     log("building Q4_K_M model (synthetic 0.1B)...")
     info, params_q = synthetic_v7_params(quant="q4k")
-    params_q = unroll_params(params_q)  # per-layer buffers: no scan-slice copies
     log(f"model: RWKV-7 L={info.num_layer} C={info.num_emb} H={info.num_head} "
         f"V={info.num_vocab} hidden={info.num_hidden}")
 
-    q4k_decode = _bench_decode(info, params_q)
+    params_q1 = prepare_decode(params_q, info, batch_hint=1)
+    q4k_decode = _bench_decode(info, params_q1)
     log(f"decode  Q4_K fused-loop batch1: {q4k_decode:.1f} tok/s")
 
     # headline goes out as soon as it exists — the extras below are
@@ -178,16 +178,27 @@ def main():
 
     signal.alarm(300)  # extras get their own shorter budget
     try:
-        q4k_decode8 = _bench_decode(info, params_q, B=8)
+        del params_q1
+        params_q8 = prepare_decode(params_q, info, batch_hint=8)
+        q4k_decode8 = _bench_decode(info, params_q8, B=8)
         log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
-        q4k_percall = _bench_decode_percall(info, params_q)
+        q4k_percall = _bench_decode_percall(info, params_q8)
+        del params_q8
         log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
         q4k_prefill = _bench_prefill(info, params_q)
         log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
+        # Engine(prefill_dense=True) path: prefill against one-time-cached
+        # dense weights (prefill is MXU-bound; decode stays quantized)
+        from web_rwkv_gguf_tpu.models.loader import densify_matrices
+
+        params_qd = densify_matrices(params_q)
+        q4k_prefill_d = _bench_prefill(info, params_qd)
+        log(f"prefill Q4_K dense-cached:     {q4k_prefill_d:.0f} tok/s")
+        del params_qd
         del params_q
 
         info, params_d = synthetic_v7_params()
-        params_d = unroll_params(params_d)
+        params_d = prepare_decode(params_d, info, batch_hint=1)
         bf16_decode = _bench_decode(info, params_d)
         log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
         bf16_prefill = _bench_prefill(info, params_d)

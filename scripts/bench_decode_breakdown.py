@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, ".")
 
 from bench import _bench_decode, log  # noqa: E402
-from web_rwkv_gguf_tpu.models import unroll_params  # noqa: E402
+from web_rwkv_gguf_tpu.models import prepare_decode  # noqa: E402
 from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params  # noqa: E402
 
 
@@ -31,7 +31,7 @@ def main():
         ("L6  V65536 B8", dict(n_layer=6), 8),
     ]:
         info, params = synthetic_v7_params(quant="q4k", **kw)
-        params = unroll_params(params)
+        params = prepare_decode(params, info)
         tps = _bench_decode(info, params, B=B)
         us = step_us(tps, B)
         results[name] = us

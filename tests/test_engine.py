@@ -277,3 +277,36 @@ def test_fused_generator_stochastic_sampling():
     assert not jax.numpy.array_equal(jax.random.key_data(k0), jax.random.key_data(k1))
     toks_b, _, _, _ = gen(params, init_state(info, 1), tok, jax.random.key(7))
     assert not (toks_a == toks_b).all()
+
+
+def test_engine_prefill_dense_matches():
+    """prefill_dense=True (cached dense weights for long chunks) must
+    reproduce the quantized engine's outputs to bf16-rounding tolerance
+    and produce identical argmax continuations."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    info, params = load_model(GgufFile(
+        fixtures.make_v7_gguf(
+            n_layer=2, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+            quantize=GgmlDType.Q4_K,
+        )
+    ))
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8]]
+
+    def drive(eng):
+        inp = RnnInput([RnnInputBatch(list(prompts[0]))], 4)
+        last = None
+        while inp.num_token:
+            out = eng.infer(inp)
+            if len(out[0]):
+                last = out[0][-1]
+        return last
+
+    l_q = drive(Engine(info, params, num_batch=1, prefill_dense=False,
+                       token_chunk_size=4))
+    l_d = drive(Engine(info, params, num_batch=1, prefill_dense=True,
+                       prefill_dense_min_t=4, token_chunk_size=4))
+    assert int(np.argmax(l_q)) == int(np.argmax(l_d))
+    np.testing.assert_allclose(
+        l_d, l_q, rtol=3e-2, atol=3e-2 * max(1.0, np.abs(l_q).max())
+    )

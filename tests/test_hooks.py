@@ -92,3 +92,65 @@ def test_vision_infer():
     emb, state = infer_vision(info, params, VisionInput(patches))
     assert emb.shape == (32,)
     assert np.isfinite(emb).all()
+
+
+@pytest.mark.parametrize("ver", ["v4", "v5", "v6", "v7"])
+def test_hook_surface_complete(ver):
+    """Table test: every reference Hook variant (snake_cased — v4.rs:
+    307-334, v5.rs:335-364, v6.rs:367-406, v7.rs:386-421) has a working
+    tap that fires during a forward+head pass, at every layer for
+    per-layer taps."""
+    from web_rwkv_gguf_tpu.models.forward import HOOK_NAMES, logits_head
+
+    maker = {
+        "v4": fixtures.make_v4_gguf,
+        "v5": fixtures.make_v5_gguf,
+        "v6": fixtures.make_v6_gguf,
+        "v7": fixtures.make_v7_gguf,
+    }[ver]
+    info, params = load_model(GgufFile(maker()))
+    names = HOOK_NAMES[info.version]
+
+    fired: dict[str, list[int]] = {n: [] for n in names}
+
+    def make_tap(name):
+        def tap(layer, **t):
+            fired[name].append(layer)
+            return None
+        return tap
+
+    hooks = {n: make_tap(n) for n in names}
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    x, _ = forward_chunk(info, params, init_state(info, 1), tokens, lens,
+                         hooks=hooks)
+    logits_head(params, x[:, -1], hooks=hooks)
+
+    model_level = {"post_embed_loaded", "post_embed_layer_norm", "pre_head",
+                   "post_head_layer_norm", "post_head"}
+    missing = [n for n in names if not fired[n]]
+    assert not missing, f"taps never fired: {missing}"
+    for n in names:
+        if n in model_level:
+            assert fired[n] == [-1], n
+        else:
+            assert sorted(fired[n]) == list(range(info.num_layer)), n
+
+
+@pytest.mark.parametrize("ver", ["v5", "v6"])
+def test_hook_modification_new_taps(ver):
+    """Modifying through a newly added tap changes the output (observe AND
+    modify works through the shared update mechanism)."""
+    maker = {"v5": fixtures.make_v5_gguf, "v6": fixtures.make_v6_gguf}[ver]
+    info, params = load_model(GgufFile(maker()))
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+
+    def half_gate(layer, x, g):
+        return {"g": g * 0.5}
+
+    x1, _ = forward_chunk(info, params, init_state(info, 1), tokens, lens,
+                          hooks={})
+    x2, _ = forward_chunk(info, params, init_state(info, 1), tokens, lens,
+                          hooks={"pre_att_gate": half_gate})
+    assert float(np.abs(np.asarray(x1) - np.asarray(x2)).max()) > 1e-4

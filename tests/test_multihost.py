@@ -12,6 +12,38 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+_SCENARIO = textwrap.dedent(
+    """
+    def run_scenario(eng, infer, np, RnnInput, RnnInputBatch, RnnOption, emb_row):
+        # phase 1: mixed options — lane 0 LAST, lane 1 FULL
+        inp = RnnInput(
+            [RnnInputBatch([1, 2, 3, 4, 5], RnnOption.LAST),
+             RnnInputBatch([9, 8, 7], RnnOption.FULL)], 32,
+        )
+        collected = [[], []]
+        while inp.num_token:
+            out = infer(inp)
+            for b in range(2):
+                for row in out[b]:
+                    collected[b].append(int(np.argmax(row)))
+        # phase 2: lane swap mid-stream — admit a NEW sequence into lane 1
+        # (state reset) while lane 0 continues decoding, with one
+        # embedding-vector token in lane 0 (Token::Embed)
+        if hasattr(eng, "reset_lane"):
+            eng.reset_lane(1)
+        else:
+            eng.reset_state(1)
+        inp.batches[0].tokens = [collected[0][-1], emb_row]
+        inp.batches[1] = RnnInputBatch([4, 5, 6], RnnOption.FULL)
+        while inp.num_token:
+            out = infer(inp)
+            for b in range(2):
+                for row in out[b]:
+                    collected[b].append(int(np.argmax(row)))
+        return collected
+    """
+)
+
 _WORKER = textwrap.dedent(
     """
     import json, os, sys
@@ -31,38 +63,36 @@ _WORKER = textwrap.dedent(
     from web_rwkv_gguf_tpu.gguf import GgufFile
     from web_rwkv_gguf_tpu.models import load_model
     from web_rwkv_gguf_tpu.runtime import RnnInput, RnnInputBatch
+    from web_rwkv_gguf_tpu.runtime.scheduler import RnnOption
     from web_rwkv_gguf_tpu.runtime.distributed import DistributedEngine
 
     info, params = load_model(
         GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8, n_vocab=64))
     )
     eng = DistributedEngine(info, params, num_batch=2, token_chunk_size=32)
-    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    {scenario}
     if eng.is_coordinator:
-        inp = RnnInput([RnnInputBatch(list(p)) for p in prompts], 32)
-        logits = [None, None]
-        while inp.num_token:
-            out = eng.infer(inp)
-            for b in range(2):
-                if len(out[b]):
-                    logits[b] = out[b][-1]
-        print("RESULT " + json.dumps([int(np.argmax(l)) for l in logits]), flush=True)
+        emb_row = np.asarray(params["emb"], np.float32)[11]
+        collected = run_scenario(
+            eng, eng.infer, np, RnnInput, RnnInputBatch, RnnOption, emb_row
+        )
+        eng.shutdown()
+        print("RESULT " + json.dumps(collected), flush=True)
     else:
-        # mirror the coordinator's chunk count (same deterministic plan)
-        steps = 0
-        total = sum(len(p) for p in prompts)
-        remaining = total
-        while remaining > 0:
-            eng.infer(None)
-            remaining -= min(remaining, 32)
+        # in-band control: workers loop until the coordinator's stop op
+        eng.serve()
     """
 )
 
 
 def test_two_process_distributed_engine(tmp_path):
+    """Two real processes over DCN: mixed LAST/FULL options, a lane swap
+    mid-stream (state reset broadcast in-band), a Token::Embed input, and
+    in-band worker shutdown — the coordinator's outputs must match a
+    single-process Engine run of the same scenario."""
     repo = str(Path(__file__).resolve().parent.parent)
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER.format(repo=repo))
+    worker.write_text(_WORKER.format(repo=repo, scenario=_SCENARIO))
 
     env = dict(os.environ)
     procs = [
@@ -82,23 +112,23 @@ def test_two_process_distributed_engine(tmp_path):
     assert len(result_lines) == 1, outs
     got = json.loads(result_lines[0][len("RESULT "):])
 
-    # single-process reference
+    # single-process reference: identical scenario through the plain Engine
     sys.path.insert(0, repo + "/tests")
     import fixtures
 
     from web_rwkv_gguf_tpu.gguf import GgufFile
     from web_rwkv_gguf_tpu.models import load_model
     from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch
+    from web_rwkv_gguf_tpu.runtime.scheduler import RnnOption
 
     info, params = load_model(
         GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8, n_vocab=64))
     )
     eng = Engine(info, params, num_batch=2, token_chunk_size=32)
-    inp = RnnInput([RnnInputBatch([1, 2, 3, 4, 5]), RnnInputBatch([9, 8, 7])], 32)
-    want = [None, None]
-    while inp.num_token:
-        out = eng.infer(inp)
-        for b in range(2):
-            if len(out[b]):
-                want[b] = int(np.argmax(out[b][-1]))
+    ns: dict = {}
+    exec(_SCENARIO, ns)
+    emb_row = np.asarray(params["emb"], np.float32)[11]
+    want = ns["run_scenario"](
+        eng, eng.infer, np, RnnInput, RnnInputBatch, RnnOption, emb_row
+    )
     assert got == want

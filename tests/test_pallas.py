@@ -108,6 +108,20 @@ def test_quant_matmul_both_paths(N):
     _check_matmul(mat8, x)
 
 
+@pytest.mark.parametrize("scheme", [QuantScheme.NF4, QuantScheme.SF4])
+@pytest.mark.parametrize("N", [1, 16])  # gemv (LUT select-tree) and slab paths
+def test_quant_matmul_nf4(scheme, N):
+    """Fused NF4/SF4 matmul (in-kernel 16-entry LUT) vs dense dequant —
+    the reference's matmul_vec_nf4 equivalent (ops.rs:892)."""
+    rng = np.random.default_rng(11)
+    M, K = 128, 512
+    w = (rng.normal(size=(M, K)) * 0.1).astype(np.float16)
+    mat = Matrix.from_f16(w, scheme)
+    assert mat.kind == "nf4" and "st" in mat.arrays
+    x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    _check_matmul(mat, x)
+
+
 def test_quant_matmul_q5k_gemv():
     """qk_b (byte codes + mins) through the gemv path."""
     from web_rwkv_gguf_tpu.quant import ggml as G
@@ -246,16 +260,19 @@ def test_wkv6_chunked_matches_xla():
 
 
 @pytest.mark.parametrize(
-    "dtype,block_bytes,dequant_fn",
+    "dtype,block_bytes,dequant_fn,f16_offs",
     [
-        (GgmlDType.Q5_K, 176, "dequantize_q5_k"),
-        (GgmlDType.Q6_K, 210, "dequantize_q6_k"),
-        (GgmlDType.Q4_0, 18, "dequantize_q4_0"),
+        (GgmlDType.Q5_K, 176, "dequantize_q5_k", (0, 2)),
+        (GgmlDType.Q6_K, 210, "dequantize_q6_k", (208,)),
+        (GgmlDType.Q4_0, 18, "dequantize_q4_0", (0,)),
+        (GgmlDType.Q3_K, 110, "dequantize_q3_k", (108,)),
+        (GgmlDType.Q2_K, 84, "dequantize_q2_k", (80, 82)),
     ],
 )
-def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
-    """Q5_K/Q6_K/Q4_0 repacked Matrix must dequantize to exactly the
-    block dequantizer's values (random raw blocks with sane scales)."""
+def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn, f16_offs):
+    """Repacked Matrix must dequantize to exactly the block dequantizer's
+    values (random raw blocks with sane scales) — incl. the Q2_K/Q3_K
+    direct path the reference only supports via dequant-to-F16."""
     from web_rwkv_gguf_tpu.quant import ggml as G
 
     rng = np.random.default_rng(7)
@@ -264,11 +281,10 @@ def test_repack_matches_block_dequant(dtype, block_bytes, dequant_fn):
     raw = bytearray(rng.integers(0, 256, n_blocks * block_bytes, dtype=np.uint8).tobytes())
     for b in range(n_blocks):
         base = b * block_bytes
-        for off in (0, 2, 208):
-            if off + 2 <= block_bytes:
-                raw[base + off : base + off + 2] = np.float16(
-                    rng.uniform(0.001, 0.05)
-                ).tobytes()
+        for off in f16_offs:
+            raw[base + off : base + off + 2] = np.float16(
+                rng.uniform(0.001, 0.05)
+            ).tobytes()
     raw = bytes(raw)
     want = getattr(G, dequant_fn)(raw, M * K).reshape(M, K)
     mat = Matrix.from_gguf_blocks(dtype, np.frombuffer(raw, np.uint8), (M, K))
@@ -474,4 +490,66 @@ def test_unrolled_grouped_rkv_forward_matches_stacked():
     for key in st0:
         np.testing.assert_allclose(
             np.asarray(st1[key]), np.asarray(st0[key]), atol=1e-2
+        )
+
+
+@pytest.mark.parametrize("quant", ["q4k", "q8_0"])
+def test_layer_scan7_matches_forward(quant):
+    """Whole-stack decode kernel (one pallas_call, grid over layers) vs
+    the composed forward_chunk path, over several carried decode steps —
+    both nibble-split (Q4_K) and signed-byte (Q8_0) code kinds."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=3, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant=quant,
+    )
+    mega = prep_decode7(params, info)
+    assert mega is not None
+
+    s_ref = init_state(info, 1)
+    s_pl = init_state(info, 1)
+    lens = jnp.asarray([1], jnp.int32)
+    for t in (3, 7, 11):
+        tok = jnp.asarray([[t]], jnp.int32)
+        x_ref, s_ref = forward_chunk(info, params, s_ref, tok, lens)
+        x = embed_tokens(params, tok)
+        xo, s_pl = layer_scan7(
+            mega, s_pl, x[:, 0], jnp.asarray([1.0], jnp.float32), None,
+            LN_EPS, GN_EPS, L2_EPS,
+        )
+        np.testing.assert_allclose(
+            np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=3e-3
+        )
+        for k in s_ref:
+            np.testing.assert_allclose(
+                np.asarray(s_pl[k]), np.asarray(s_ref[k]), rtol=3e-3,
+                atol=3e-3, err_msg=k,
+            )
+
+
+def test_layer_scan7_mask_preserves_state():
+    """mask=0 must leave the recurrent state unchanged (padding lanes)."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q4k",
+    )
+    mega = prep_decode7(params, info)
+    state = init_state(info, 1)
+    x = embed_tokens(params, jnp.asarray([[5]], jnp.int32))
+    _, s_new = layer_scan7(
+        mega, state, x[:, 0], jnp.asarray([0.0], jnp.float32), None,
+        LN_EPS, GN_EPS, L2_EPS,
+    )
+    for k in state:
+        np.testing.assert_allclose(
+            np.asarray(s_new[k]), np.asarray(state[k]), atol=1e-6, err_msg=k
         )

@@ -81,3 +81,38 @@ def test_pipeline_composes_with_data_parallel():
         np.testing.assert_allclose(
             np.asarray(x_got[m]), want[m], rtol=5e-4, atol=5e-4
         )
+
+
+def test_engine_pipeline_matches_single():
+    """Engine(pipeline_microbatches=M): lanes grouped into microbatches
+    flow through the GPipe schedule; outputs and state must match the
+    plain Engine."""
+    from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch
+
+    info, params = load_model(
+        GgufFile(fixtures.make_v7_gguf(n_layer=4, n_emb=32, head_size=8,
+                                       n_vocab=64))
+    )
+    M, Bm = 2, 1
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    def drive(eng):
+        inp = RnnInput([RnnInputBatch(list(p)) for p in prompts], 32)
+        outs = [None] * len(prompts)
+        while inp.num_token:
+            o = eng.infer(inp)
+            for b in range(len(prompts)):
+                if len(o[b]):
+                    outs[b] = o[b][-1]
+        return [np.asarray(o) for o in outs]
+
+    want = drive(Engine(info, params, num_batch=2, token_chunk_size=32))
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    got = drive(
+        Engine(info, params, num_batch=2, token_chunk_size=32, mesh=mesh,
+               pipeline_microbatches=M)
+    )
+    for g, w in zip(got, want):
+        assert int(np.argmax(g)) == int(np.argmax(w))
+        np.testing.assert_allclose(g, w, rtol=2e-3,
+                                   atol=2e-3 * max(1.0, np.abs(w).max()))

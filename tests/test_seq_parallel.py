@@ -133,3 +133,41 @@ def test_seq_parallel_v5():
     np.testing.assert_allclose(
         np.asarray(x_got[:, :32]), np.asarray(x_want[:, :32]), rtol=1e-3, atol=1e-3
     )
+
+
+def test_engine_seq_parallel_matches():
+    """Engine(seq_parallel=True) routes full-length long chunks through
+    the sequence-parallel prefill — across TWO chained chunks (pinning
+    the cross-chunk boundary/shift-state carry) — and must match the
+    plain Engine's final logits."""
+    from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch
+
+    info, params = load_model(
+        GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=4,
+                                       n_vocab=64))
+    )
+    rng = np.random.default_rng(7)
+    prompt = [int(t) for t in rng.integers(1, 60, 256)]
+
+    def drive(eng):
+        inp = RnnInput([RnnInputBatch(list(prompt))], 128)
+        last = None
+        n_chunks = 0
+        while inp.num_token:
+            out = eng.infer(inp)
+            n_chunks += 1
+            if len(out[0]):
+                last = out[0][-1]
+        assert n_chunks == 2
+        return np.asarray(last)
+
+    want = drive(Engine(info, params, num_batch=1, token_chunk_size=128))
+    mesh = make_mesh(1, 8)
+    got = drive(
+        Engine(info, params, num_batch=1, token_chunk_size=128, mesh=mesh,
+               seq_parallel=True, seq_parallel_min_t=128)
+    )
+    assert int(np.argmax(got)) == int(np.argmax(want))
+    np.testing.assert_allclose(
+        got, want, rtol=5e-2, atol=5e-2 * max(1.0, np.abs(want).max())
+    )

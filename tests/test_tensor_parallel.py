@@ -123,3 +123,77 @@ def test_engine_shard_map_tp():
     want = run(eng)
     for b in range(2):
         np.testing.assert_allclose(got[b], want[b], rtol=2e-4, atol=2e-4)
+
+
+def test_tp_shard_keeps_gemv_operands():
+    """Column-sharded quantized matrices must carry per-shard rebuilt
+    gemv scale operands (st/mnt) so TP decode uses the precomputed path
+    instead of transposing in-loop (VERDICT round-1 item 5)."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    info, params = _model(GgmlDType.Q4_K)
+    mesh = make_mesh(2, 4)
+    sp = shard_params_tp(params, mesh, info)
+    att = sp["blocks"]["att"]
+    n = mesh.shape["model"]
+    for key in ("Wr", "Wk", "Wv", "Wo"):
+        mat = att[key]
+        assert "st" in mat.arrays, key
+        L, mdim, kdim = mat.arrays["codes"].shape
+        st = mat.arrays["st"]
+        assert st.shape[-1] == mdim
+        # sharded on the LAST axis (per-shard position order)
+        spec = st.sharding.spec
+        assert spec[-1] == "model", (key, spec)
+        # per-shard operands equal a fresh recompute of the local rows
+        from web_rwkv_gguf_tpu.models.matrix import recompute_gemv_arrays
+
+        m_loc = mdim // n
+        loc = {
+            "scales": np.asarray(mat.arrays["scales"])[:, :m_loc],
+            "mins": np.asarray(mat.arrays["mins"])[:, :m_loc],
+        }
+        want = recompute_gemv_arrays(mat.kind, loc, m_loc, kdim * 2)
+        np.testing.assert_array_equal(
+            np.asarray(st)[..., :m_loc], np.asarray(want["st"])
+        )
+
+
+def test_tp_hooks_and_embeds():
+    """Hooks and Token::Embed inputs work under shard_map TP."""
+    info, params = _model(None)
+    B = 2
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(1, 100, (B, 4)), jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+    mesh = make_mesh(2, 4)
+    sp = shard_params_tp(params, mesh, info)
+
+    fired = []
+
+    def tap(layer, **t):
+        fired.append(layer)
+        return None
+
+    fwd = make_tp_forward(info, mesh, sp, full_output=True,
+                          hooks={"post_att": tap})
+    state = shard_state(init_state(info, B), mesh)
+    x, _ = fwd(sp, state, tokens, lens)
+    assert sorted(set(fired)) == list(range(info.num_layer))
+    want, _ = forward_chunk(
+        info, params, init_state(info, B), tokens, lens
+    )
+    w = np.asarray(want)
+    # full residual stream: local-vs-global reassociation noise amplified
+    # through the layers (same tolerance rationale as the state compare in
+    # test_tp_forward_matches_single)
+    tol = dict(rtol=1e-2, atol=1e-3 * max(1.0, np.abs(w).max()))
+    np.testing.assert_allclose(np.asarray(x), w, **tol)
+
+    # embeds path: feeding the embedding rows must match token ids
+    emb = np.asarray(params["emb"], np.float32)[np.asarray(tokens)]
+    fwd_e = make_tp_forward(info, mesh, sp, full_output=True,
+                            input_embeds=True)
+    xe, _ = fwd_e(sp, shard_state(init_state(info, B), mesh),
+                  jnp.asarray(emb), lens)
+    np.testing.assert_allclose(np.asarray(xe), w, **tol)

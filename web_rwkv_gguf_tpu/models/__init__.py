@@ -9,5 +9,10 @@ cross-chunk shift-state update.
 
 from .info import ModelInfo, ModelVersion, detect_info  # noqa: F401
 from .matrix import Matrix  # noqa: F401
-from .loader import load_model, load_initial_state, unroll_params  # noqa: F401
+from .loader import (  # noqa: F401
+    load_model,
+    load_initial_state,
+    prepare_decode,
+    unroll_params,
+)
 from .forward import forward_chunk, init_state, embed_tokens, logits_head  # noqa: F401

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import basic as B
 from ..ops import wkv as W
@@ -68,20 +69,22 @@ _NOHOOK = _NoHook()
 
 class HookCtx:
     """Per-layer hook dispatcher (the reference's Hook system,
-    ref: src/runtime/v7.rs Hook enum + hook_op).
+    ref: src/runtime/v7.rs:386-421 Hook enum + hook_op; sibling enums in
+    v4.rs:307-334, v5.rs:335-364, v6.rs:367-406).
 
     ``hooks`` maps hook names to ``fn(layer_idx, **tensors) -> dict |
     None``; returned entries replace the named tensors, so hooks can both
-    observe and modify intermediates. Hook names follow the reference:
-    ``pre_att``, ``post_att_layer_norm``, ``post_att_token_shift``,
-    ``post_att_linear``, ``post_att_adapt``, ``post_att_control``,
-    ``post_att_value_residual``, ``post_att_time_mix``, ``post_att_gate``,
-    ``post_att``, ``pre_ffn``, ``post_ffn_layer_norm``,
-    ``post_ffn_activate``, ``post_ffn``, plus ``post_embed`` /
-    ``pre_head`` at the model level, and ``pre_att_decay_activate``
-    (V6, raw decay + k — the reference's PreAttTimeDecayActivate). Using hooks switches the layer stack
-    from ``lax.scan`` to an unrolled trace (taps are resolved at trace
-    time, like the reference builds them into the op graph).
+    observe and modify intermediates. Hook names are the reference's
+    variants snake_cased (``PostAttTokenShift`` → ``post_att_token_shift``
+    etc.); :data:`HOOK_NAMES` lists every tap per version. Model-level
+    taps (``post_embed_loaded``, ``post_embed_layer_norm``, ``pre_head``,
+    ``post_head_layer_norm``, ``post_head``) fire with layer -1;
+    ``post_embed`` is a legacy alias of ``post_embed_layer_norm`` and
+    ``pre_att_decay_activate`` of ``pre_att_time_decay_activate`` (V6,
+    raw decay + k — used by the puzzle15 example,
+    ref: examples/puzzle15/main.rs:114-116). Using hooks switches the
+    layer stack from ``lax.scan`` to an unrolled trace (taps are resolved
+    at trace time, like the reference builds them into the op graph).
     """
 
     def __init__(self, hooks: dict, layer: int):
@@ -95,6 +98,42 @@ class HookCtx:
             if out:
                 tensors.update(out)
         return tensors
+
+
+# Every reference Hook variant, snake_cased, per version (the table the
+# hook parity test checks). Ref enums: v4.rs:307-334 (26), v5.rs:335-364
+# (28), v6.rs:367-406 (38), v7.rs:386-421 (34).
+_HOOKS_COMMON = (
+    "post_embed_loaded", "post_embed_layer_norm",
+    "pre_att", "post_att_layer_norm",
+    "pre_att_token_shift", "post_att_token_shift",
+    "pre_att_linear", "post_att_linear",
+    "pre_att_time_mix", "post_att_time_mix",
+    "pre_att_out", "post_att_out", "post_att",
+    "pre_ffn", "post_ffn_layer_norm",
+    "pre_ffn_token_shift", "post_ffn_token_shift",
+    "pre_ffn_linear", "post_ffn_linear", "post_ffn_activate",
+    "pre_ffn_channel_mix", "post_ffn_channel_mix", "post_ffn",
+    "pre_head", "post_head_layer_norm", "post_head",
+)
+_HOOKS_GATE = ("pre_att_gate", "post_att_gate")
+HOOK_NAMES = {
+    ModelVersion.V4: _HOOKS_COMMON,
+    ModelVersion.V5: _HOOKS_COMMON + _HOOKS_GATE,
+    ModelVersion.V6: _HOOKS_COMMON + _HOOKS_GATE + (
+        "pre_att_token_shift_adapt", "post_att_token_shift_adapt",
+        "post_att_token_shift_adapt_activate",
+        "pre_att_gated_token_shift", "post_att_gated_token_shift",
+        "pre_att_time_decay_adapt", "post_att_time_decay_adapt",
+        "post_att_time_decay_adapt_activate",
+        "pre_att_time_decay_activate", "post_att_time_decay_activate",
+    ),
+    ModelVersion.V7: _HOOKS_COMMON + _HOOKS_GATE + (
+        "pre_att_adapt", "post_att_adapt",
+        "pre_att_control", "post_att_control",
+        "pre_att_value_residual", "post_att_value_residual",
+    ),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -188,10 +227,17 @@ def embed_tokens(params: dict, tokens: jax.Array) -> jax.Array:
     return B.layer_norm(x, params["ln0"]["w"], params["ln0"]["b"], LN_EPS)
 
 
-def logits_head(params: dict, x: jax.Array) -> jax.Array:
-    """Final LN + head matmul on selected rows (ref: v7.rs:1009-1036)."""
+def logits_head(params: dict, x: jax.Array, hooks: dict | None = None) -> jax.Array:
+    """Final LN + head matmul on selected rows (ref: v7.rs:1009-1036).
+
+    ``hooks`` taps ``post_head_layer_norm`` / ``post_head`` (layer -1);
+    ``pre_head`` fires at the end of :func:`forward_chunk` on the full
+    residual stream."""
+    hk = HookCtx(hooks, -1) if hooks else _NOHOOK
     x = B.layer_norm(x, params["ln_out"]["w"], params["ln_out"]["b"], LN_EPS)
-    return params["head"].matmul(x)
+    x = hk("post_head_layer_norm", x=x)["x"]
+    logits = params["head"].matmul(x)
+    return hk("post_head", x=logits)["x"]
 
 
 def _trim_hidden(kf, wv):
@@ -207,15 +253,25 @@ def _trim_hidden(kf, wv):
     return kf[..., :kn] if kf.shape[-1] != kn else kf
 
 
-def _ffn_v4(ffn, x, shift, mask, lengths):
+def _ffn_v4(ffn, x, shift, mask, lengths, hk=_NOHOOK):
     """Shared V4/V5 FFN: sq-relu key, sigmoid(r) gate
     (ref: v4.rs:725-785, channel_mix.wgsl:101-107)."""
+    x = hk("pre_ffn_token_shift", x=x)["x"]
     kx = B.token_shift(x, shift, ffn["mix_k"], reversed_mix=False)
     rx = B.token_shift(x, shift, ffn["mix_r"], reversed_mix=False)
-    k = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx)), ffn["Wv"])
-    v = ffn["Wv"].matmul(k)
+    t = hk("post_ffn_token_shift", kx=kx, rx=rx)
+    t = hk("pre_ffn_linear", kx=t["kx"], rx=t["rx"])
+    kx, rx = t["kx"], t["rx"]
+    k_lin = ffn["Wk"].matmul(kx)
     r = ffn["Wr"].matmul(rx)
-    out = jax.nn.sigmoid(r) * v
+    t = hk("post_ffn_linear", k=k_lin, r=r)
+    k_lin, r = t["k"], t["r"]
+    k = _trim_hidden(B.squared_relu(k_lin), ffn["Wv"])
+    k = hk("post_ffn_activate", k=k)["k"]
+    v = ffn["Wv"].matmul(k)
+    t = hk("pre_ffn_channel_mix", r=r, v=v)
+    out = jax.nn.sigmoid(t["r"]) * t["v"]
+    out = hk("post_ffn_channel_mix", x=out)["x"]
     new_shift = B.update_shift_state(x, lengths, shift)
     return out, new_shift
 
@@ -248,21 +304,34 @@ def _layer_v4(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
     xx = hk("post_att_layer_norm", x=xx)["x"]
+    xx = hk("pre_att_token_shift", x=xx)["x"]
     kx = B.token_shift(xx, lst["att_shift"], att["mix_k"], reversed_mix=False)
     vx = B.token_shift(xx, lst["att_shift"], att["mix_v"], reversed_mix=False)
     rx = B.token_shift(xx, lst["att_shift"], att["mix_r"], reversed_mix=False)
+    t = hk("post_att_token_shift", kx=kx, vx=vx, rx=rx)
+    t = hk("pre_att_linear", kx=t["kx"], vx=t["vx"], rx=t["rx"])
+    kx, vx, rx = t["kx"], t["vx"], t["rx"]
     k = att["Wk"].matmul(kx)
     v = att["Wv"].matmul(vx)
     r = att["Wr"].matmul(rx)
+    t = hk("post_att_linear", k=k, v=v, r=r)
+    t = hk("pre_att_time_mix", k=t["k"], v=t["v"], r=t["r"])
+    k, v, r = t["k"], t["v"], t["r"]
     state4 = jnp.stack([lst["aa"], lst["bb"], lst["pp"]], axis=-1)
     y, state4 = _wkv4(state4, k, v, r, att["time_first"], att["time_decay"], mask)
     y = hk("post_att_time_mix", x=y)["x"]
-    x = x + att["Wo"].matmul(y)
+    y = hk("pre_att_out", x=y)["x"]
+    dx = att["Wo"].matmul(y)
+    dx = hk("post_att_out", x=dx)["x"]
+    x = x + dx
     x = hk("post_att", x=x)["x"]
 
+    x = hk("pre_ffn", x=x)["x"]
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
-    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
+    xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
+    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths, hk)
     x = x + out
+    x = hk("post_ffn", x=x)["x"]
 
     new = {
         "att_shift": B.update_shift_state(xx, lengths, lst["att_shift"]),
@@ -281,24 +350,40 @@ def _layer_v5(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
     xx = hk("post_att_layer_norm", x=xx)["x"]
     sh = lst["att_shift"]
+    xx = hk("pre_att_token_shift", x=xx)["x"]
     kx = B.token_shift(xx, sh, att["mix_k"], reversed_mix=False)
     vx = B.token_shift(xx, sh, att["mix_v"], reversed_mix=False)
     rx = B.token_shift(xx, sh, att["mix_r"], reversed_mix=False)
     gx = B.token_shift(xx, sh, att["mix_g"], reversed_mix=False)
-    k = _heads(att["Wk"].matmul(kx), H)
-    v = _heads(att["Wv"].matmul(vx), H)
-    r = _heads(att["Wr"].matmul(rx), H)
+    t = hk("post_att_token_shift", kx=kx, vx=vx, rx=rx, gx=gx)
+    t = hk("pre_att_linear", kx=t["kx"], vx=t["vx"], rx=t["rx"], gx=t["gx"])
+    kx, vx, rx, gx = t["kx"], t["vx"], t["rx"], t["gx"]
+    k = att["Wk"].matmul(kx)
+    v = att["Wv"].matmul(vx)
+    r = att["Wr"].matmul(rx)
     g = att["Wg"].matmul(gx)
+    t = hk("post_att_linear", k=k, v=v, r=r, g=g)
+    t = hk("pre_att_time_mix", k=t["k"], v=t["v"], r=t["r"], g=t["g"])
+    k, v, r, g = (_heads(t["k"], H), _heads(t["v"], H), _heads(t["r"], H),
+                  t["g"])
     y, wkv = _wkv5(lst["wkv"], r, k, v, att["time_first"], att["time_decay"], mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = hk("post_att_time_mix", x=y)["x"]
-    y = y * jax.nn.silu(g)
-    x = x + att["Wo"].matmul(y)
+    t = hk("pre_att_gate", x=y, g=g)
+    y = t["x"] * jax.nn.silu(t["g"])
+    y = hk("post_att_gate", x=y)["x"]
+    y = hk("pre_att_out", x=y)["x"]
+    dx = att["Wo"].matmul(y)
+    dx = hk("post_att_out", x=dx)["x"]
+    x = x + dx
     x = hk("post_att", x=x)["x"]
 
+    x = hk("pre_ffn", x=x)["x"]
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
-    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths)
+    xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
+    out, ffn_shift = _ffn_v4(ffn, xx2, lst["ffn_shift"], mask, lengths, hk)
     x = x + out
+    x = hk("post_ffn", x=x)["x"]
 
     new = {
         "att_shift": B.update_shift_state(xx, lengths, sh),
@@ -317,15 +402,24 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     sh = lst["att_shift"]
 
     # data-dependent 5-way lerp (ddlerp), ref: v6.rs:769-803
+    xx = hk("pre_att_token_shift", x=xx)["x"]
     sx = B.token_shift(xx, sh, att["mix_x"], reversed_mix=True)
-    z = jnp.tanh(
-        jnp.einsum("btc,fc->btf", sx, att["tm_w1"], preferred_element_type=jnp.float32)
+    sx = hk("post_att_token_shift", x=sx)["x"]
+    sx = hk("pre_att_token_shift_adapt", x=sx)["x"]
+    z = jnp.einsum(
+        "btc,fc->btf", sx.astype(att["tm_w1"].dtype), att["tm_w1"],
+        preferred_element_type=jnp.float32,
     )  # [B,T,5r]
+    z = hk("post_att_token_shift_adapt", x=z)["x"]
+    z = jnp.tanh(z)
+    z = hk("post_att_token_shift_adapt_activate", x=z)["x"]
     r5 = att["tm_w1"].shape[0] // 5
     z = z.reshape(z.shape[0], z.shape[1], 5, r5)
     mix = jnp.einsum(
-        "btfr,fcr->btfc", z, att["tm_w2"], preferred_element_type=jnp.float32
+        "btfr,fcr->btfc", z.astype(att["tm_w2"].dtype), att["tm_w2"],
+        preferred_element_type=jnp.float32,
     ) + att["time_mix"][None, None]  # [B,T,5,C]
+    mix = hk("pre_att_gated_token_shift", mix=mix)["mix"]
 
     def shift_with(m):
         return B.token_shift(xx, sh, m, reversed_mix=True)
@@ -335,40 +429,76 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
     vx = shift_with(mix[:, :, 2])
     rx = shift_with(mix[:, :, 3])
     gx = shift_with(mix[:, :, 4])
+    t = hk("post_att_gated_token_shift", wx=wx, kx=kx, vx=vx, rx=rx, gx=gx)
+    t = hk("pre_att_linear", wx=t["wx"], kx=t["kx"], vx=t["vx"], rx=t["rx"],
+           gx=t["gx"])
+    wx, kx, vx, rx, gx = t["wx"], t["kx"], t["vx"], t["rx"], t["gx"]
 
-    k = _heads(att["Wk"].matmul(kx), H)
-    v = _heads(att["Wv"].matmul(vx), H)
-    r = _heads(att["Wr"].matmul(rx), H)
+    k = att["Wk"].matmul(kx)
+    v = att["Wv"].matmul(vx)
+    r = att["Wr"].matmul(rx)
     g = att["Wg"].matmul(gx)
+    t = hk("post_att_linear", k=k, v=v, r=r, g=g)
+    k, v, r, g = _heads(t["k"], H), _heads(t["v"], H), _heads(t["r"], H), t["g"]
 
     # decay LoRA + StableExp (ref: v6.rs:831-849)
-    dz = jnp.tanh(
-        jnp.einsum("btc,dc->btd", wx, att["td_w1"], preferred_element_type=jnp.float32)
+    wx = hk("pre_att_time_decay_adapt", x=wx)["x"]
+    dz = jnp.einsum(
+        "btc,dc->btd", wx.astype(att["td_w1"].dtype), att["td_w1"],
+        preferred_element_type=jnp.float32,
     )
+    dz = hk("post_att_time_decay_adapt", x=dz)["x"]
+    dz = jnp.tanh(dz)
+    dz = hk("post_att_time_decay_adapt_activate", x=dz)["x"]
     w_raw = jnp.einsum(
-        "btd,cd->btc", dz, att["td_w2"], preferred_element_type=jnp.float32
+        "btd,cd->btc", dz.astype(att["td_w2"].dtype), att["td_w2"],
+        preferred_element_type=jnp.float32,
     ) + att["time_decay"][None, None]
     # raw (pre-StableExp) decay and k exposed for hooks (the reference's
     # puzzle15 example does k <- exp(min(w,0))*k at
-    # Hook::PreAttTimeDecayActivate, examples/puzzle15/main.rs:114-116)
+    # Hook::PreAttTimeDecayActivate, examples/puzzle15/main.rs:114-116);
+    # "pre_att_decay_activate" is this repo's legacy alias for the same tap
     t = hk("pre_att_decay_activate", w=w_raw, k=k)
+    t = hk("pre_att_time_decay_activate", w=t["w"], k=t["k"])
     w_raw, k = t["w"], t["k"]
     w = _heads(B.stable_exp(w_raw), H)
+    w = hk("post_att_time_decay_activate", w=w)["w"]
 
+    t = hk("pre_att_time_mix", r=r, k=k, v=v, w=w)
+    r, k, v, w = t["r"], t["k"], t["v"], t["w"]
     y, wkv = _wkv6(lst["wkv"], r, k, v, att["time_first"], w, mask)
     y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
     y = hk("post_att_time_mix", x=y)["x"]
-    y = y * jax.nn.silu(g)
-    x = x + att["Wo"].matmul(y)
+    t = hk("pre_att_gate", x=y, g=g)
+    y = t["x"] * jax.nn.silu(t["g"])
+    y = hk("post_att_gate", x=y)["x"]
+    y = hk("pre_att_out", x=y)["x"]
+    dx = att["Wo"].matmul(y)
+    dx = hk("post_att_out", x=dx)["x"]
+    x = x + dx
     x = hk("post_att", x=x)["x"]
 
+    x = hk("pre_ffn", x=x)["x"]
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
+    xx2 = hk("pre_ffn_token_shift", x=xx2)["x"]
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_k"], reversed_mix=True)
     rx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["mix_r"], reversed_mix=True)
-    kf = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx2)), ffn["Wv"])
-    vf = ffn["Wv"].matmul(kf)
+    t = hk("post_ffn_token_shift", kx=kx2, rx=rx2)
+    t = hk("pre_ffn_linear", kx=t["kx"], rx=t["rx"])
+    kx2, rx2 = t["kx"], t["rx"]
+    k_lin = ffn["Wk"].matmul(kx2)
     rf = ffn["Wr"].matmul(rx2)
-    x = x + jax.nn.sigmoid(rf) * vf
+    t = hk("post_ffn_linear", k=k_lin, r=rf)
+    k_lin, rf = t["k"], t["r"]
+    kf = _trim_hidden(B.squared_relu(k_lin), ffn["Wv"])
+    kf = hk("post_ffn_activate", k=kf)["k"]
+    vf = ffn["Wv"].matmul(kf)
+    t = hk("pre_ffn_channel_mix", r=rf, v=vf)
+    out = jax.nn.sigmoid(t["r"]) * t["v"]
+    out = hk("post_ffn_channel_mix", x=out)["x"]
+    x = x + out
+    x = hk("post_ffn", x=x)["x"]
 
     new = {
         "att_shift": B.update_shift_state(xx, lengths, sh),
@@ -379,15 +509,68 @@ def _layer_v6(info, blk, lst, x, mask, lengths, hk=_NOHOOK):
 
 
 def _lora(x_in, w_a, w_b, mid_act=None):
-    z = jnp.einsum("btc,dc->btd", x_in, w_a, preferred_element_type=jnp.float32)
+    # adapters are stored in the model compute dtype (bf16 by default,
+    # like the reference's f16 adapter matmuls); accumulate in f32
+    z = jnp.einsum(
+        "btc,dc->btd", x_in.astype(w_a.dtype), w_a,
+        preferred_element_type=jnp.float32,
+    )
     if mid_act is not None:
         z = mid_act(z)
-    return jnp.einsum("btd,cd->btc", z, w_b, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "btd,cd->btc", z.astype(w_b.dtype), w_b,
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _v7_value_residual(att, vx, v, v0, layer_idx):
-    """Value residual from layer 0 (ref: v7.rs:895-921)."""
-    v_mix = jax.nn.sigmoid(att["v0"][None, None] + _lora(vx, att["v1"], att["v2"]))
+def _lora_stacked(att, wx, ax, gx, vx):
+    """All four V7 inner adapters (w/a/g/v) in TWO MXU dots instead of
+    eight: the shifted inputs stack to ``[B, T, 4, C]``, contract against
+    the row-concatenated down matrix ``[D, C]``, and the cross-adapter
+    blocks of the mid activations are masked to exact zeros so the
+    column-concatenated up matrix ``[C, D]`` reproduces each adapter's
+    individual output exactly (0·w contributions vanish in the f32
+    accumulation). Mid activations: tanh for w, sigmoid for g
+    (ref: v7.rs:829-874). Returns (w_lora, a_lora, g, v_mix_pre)."""
+    down, up = att["lora_down"], att["lora_up"]
+    dims = [att[k].shape[-2] for k in ("w1", "a1", "g1", "v1")]
+    D = down.shape[-2]
+    bounds = np.cumsum([0] + dims)
+    mask = np.zeros((4, D), np.float32)
+    for i in range(4):
+        mask[i, bounds[i] : bounds[i + 1]] = 1.0
+    xs = jnp.stack([wx, ax, gx, vx], axis=2)  # [B, T, 4, C]
+    z = jnp.einsum(
+        "btsc,dc->btsd", xs.astype(down.dtype), down,
+        preferred_element_type=jnp.float32,
+    )
+    sel = jnp.arange(4).reshape(4, 1)
+    za = jnp.where(sel == 0, jnp.tanh(z), z)
+    za = jnp.where(sel == 2, jax.nn.sigmoid(za), za)
+    za = za * jnp.asarray(mask)
+    out = jnp.einsum(
+        "btsd,cd->btsc", za.astype(up.dtype), up,
+        preferred_element_type=jnp.float32,
+    )
+    return out[:, :, 0], out[:, :, 1], out[:, :, 2], out[:, :, 3]
+
+
+def _v7_adapters(att, wx, ax, gx, vx):
+    """Inner-LoRA adapter outputs (w_lora, a_lora, g, v_mix_pre); the
+    stacked two-dot form applies at decode-sized chunks."""
+    if "lora_down" in att and wx.shape[0] * wx.shape[1] <= 16:
+        return _lora_stacked(att, wx, ax, gx, vx)
+    w_lo = _lora(wx, att["w1"], att["w2"], jnp.tanh)
+    a_lo = _lora(ax, att["a1"], att["a2"])
+    g = _lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+    vm = _lora(vx, att["v1"], att["v2"])
+    return w_lo, a_lo, g, vm
+
+
+def _v7_value_residual(att, vm, v, v0, layer_idx):
+    """Value residual from layer 0 (ref: v7.rs:895-921); ``vm`` is the
+    raw v-adapter output (pre-sigmoid)."""
+    v_mix = jax.nn.sigmoid(att["v0"][None, None] + vm)
     v_res = v + v_mix * (v0 - v)
     is_first = layer_idx == 0
     v = jnp.where(is_first, v, v_res)
@@ -399,19 +582,23 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     """Projections + inner-LoRA adapters + control-k + value residual:
     the shared middle of the V7 attention block (used by both the
     standard and the sequence-parallel layer)."""
+    t = hk("pre_att_linear", rx=rx, kx=kx, vx=vx)
+    rx, kx, vx = t["rx"], t["kx"], t["vx"]
     r = att["Wr"].matmul(rx)
     k = att["Wk"].matmul(kx)
     v = att["Wv"].matmul(vx)
     t = hk("post_att_linear", r=r, k=k, v=v)
     r, k, v = t["r"], t["k"], t["v"]
 
-    lora = _lora
-    w_in = att["w0"][None, None] + lora(wx, att["w1"], att["w2"], jnp.tanh)
-    a = jax.nn.sigmoid(att["a0"][None, None] + lora(ax, att["a1"], att["a2"]))
-    g = lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
+    t = hk("pre_att_adapt", wx=wx, ax=ax, gx=gx, vx=vx)
+    w_lo, a_lo, g, vm = _v7_adapters(att, t["wx"], t["ax"], t["gx"], t["vx"])
+    w_in = att["w0"][None, None] + w_lo
+    a = jax.nn.sigmoid(att["a0"][None, None] + a_lo)
     t = hk("post_att_adapt", w=w_in, a=a, g=g)
     w_in, a, g = t["w"], t["a"], t["g"]
 
+    t = hk("pre_att_control", k=k, a=a, w=w_in)
+    k, a, w_in = t["k"], t["a"], t["w"]
     kk = _flat(B.l2_normalize(_heads(k * att["k_k"][None, None], H), L2_EPS))
     k = k * (1.0 + (a - 1.0) * att["k_a"][None, None])  # ref: control_k_v7.wgsl:73
     # ``a`` and raw ``w`` are exposed here so hooks can modify the WKV
@@ -420,13 +607,16 @@ def _v7_mix_inputs(att, H, rx, wx, kx, vx, ax, gx, v0, layer_idx, hk=_NOHOOK):
     t = hk("post_att_control", k=k, kk=kk, a=a, w=w_in)
     k, kk, a = t["k"], t["kk"], t["a"]
 
-    v, v0 = _v7_value_residual(att, vx, v, v0, layer_idx)
+    v = hk("pre_att_value_residual", v=v)["v"]
+    v, v0 = _v7_value_residual(att, vm, v, v0, layer_idx)
     v = hk("post_att_value_residual", v=v)["v"]
 
     w_dec = W.wkv7_act_w(w_in)
     rh, wh, kh, vh = (_heads(t_, H) for t_ in (r, w_dec, k, v))
     kkh = _heads(kk, H)
-    return rh, wh, kh, vh, -kkh, kkh * _heads(a, H), g, v0
+    t = hk("pre_att_time_mix", r=rh, w=wh, k=kh, v=vh, a=-kkh,
+           b=kkh * _heads(a, H))
+    return t["r"], t["w"], t["k"], t["v"], t["a"], t["b"], g, v0
 
 
 def _fused_att_core_ok(hk, B, T, att) -> bool:
@@ -455,14 +645,20 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
     x = hk("pre_att", x=x)["x"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
     xx = hk("post_att_layer_norm", x=xx)["x"]
+    xx = hk("pre_att_token_shift", x=xx)["x"]
     sh = lst["att_shift"]
 
-    rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
-    wx = B.token_shift(xx, sh, att["x_w"], reversed_mix=True)
-    kx = B.token_shift(xx, sh, att["x_k"], reversed_mix=True)
-    vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
-    ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
-    gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
+    if "x_stack" in att:
+        # one fused lerp for all six shifts (r,w,k,v,a,g order)
+        sx6 = B.token_shift_multi(xx, sh, att["x_stack"])
+        rx, wx, kx, vx, ax, gx = (sx6[:, :, i] for i in range(6))
+    else:
+        rx = B.token_shift(xx, sh, att["x_r"], reversed_mix=True)
+        wx = B.token_shift(xx, sh, att["x_w"], reversed_mix=True)
+        kx = B.token_shift(xx, sh, att["x_k"], reversed_mix=True)
+        vx = B.token_shift(xx, sh, att["x_v"], reversed_mix=True)
+        ax = B.token_shift(xx, sh, att["x_a"], reversed_mix=True)
+        gx = B.token_shift(xx, sh, att["x_g"], reversed_mix=True)
     t = hk("post_att_token_shift", rx=rx, wx=wx, kx=kx, vx=vx, ax=ax, gx=gx)
     rx, wx, kx, vx, ax, gx = t["rx"], t["wx"], t["kx"], t["vx"], t["ax"], t["gx"]
 
@@ -483,10 +679,10 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
             r = att["Wr"].matmul(rx)
             k = att["Wk"].matmul(kx)
             v = att["Wv"].matmul(vx)
-        w_in = att["w0"][None, None] + _lora(wx, att["w1"], att["w2"], jnp.tanh)
-        a_in = att["a0"][None, None] + _lora(ax, att["a1"], att["a2"])
-        g = _lora(gx, att["g1"], att["g2"], jax.nn.sigmoid)
-        v, v0 = _v7_value_residual(att, vx, v, v0, layer_idx)
+        w_lo, a_lo, g, vm = _v7_adapters(att, wx, ax, gx, vx)
+        w_in = att["w0"][None, None] + w_lo
+        a_in = att["a0"][None, None] + a_lo
+        v, v0 = _v7_value_residual(att, vm, v, v0, layer_idx)
         hs = att["r_k"].shape[-1]
         y1, wkv = att_core7_step(
             lst["wkv"], _heads(r, H)[:, 0], _heads(w_in, H)[:, 0],
@@ -505,19 +701,31 @@ def _layer_v7(info, blk, lst, x, v0, layer_idx, mask, lengths, hk=_NOHOOK):
         y = B.group_norm(_flat(y), att["gn"]["w"], att["gn"]["b"], H, GN_EPS)
         y = y + _flat(W.wkv7_bonus(rh, kh, vh, att["r_k"]))
         y = hk("post_att_time_mix", x=y)["x"]
-        y = y * g
+        t = hk("pre_att_gate", x=y, g=g)
+        y = t["x"] * t["g"]
         y = hk("post_att_gate", x=y)["x"]
-    x = x + att["Wo"].matmul(y)
+    y = hk("pre_att_out", x=y)["x"]
+    dx = att["Wo"].matmul(y)
+    dx = hk("post_att_out", x=dx)["x"]
+    x = x + dx
     x = hk("post_att", x=x)["x"]
 
     x = hk("pre_ffn", x=x)["x"]
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
     xx2 = hk("post_ffn_layer_norm", x=xx2)["x"]
+    xx2 = hk("pre_ffn_token_shift", x=xx2)["x"]
     kx2 = B.token_shift(xx2, lst["ffn_shift"], ffn["x_k"], reversed_mix=True)
-    kf = _trim_hidden(B.squared_relu(ffn["Wk"].matmul(kx2)), ffn["Wv"])
+    kx2 = hk("post_ffn_token_shift", kx=kx2)["kx"]
+    kx2 = hk("pre_ffn_linear", kx=kx2)["kx"]
+    k_lin = ffn["Wk"].matmul(kx2)
+    k_lin = hk("post_ffn_linear", k=k_lin)["k"]
+    kf = _trim_hidden(B.squared_relu(k_lin), ffn["Wv"])
     kf = hk("post_ffn_activate", k=kf)["k"]
     vf = ffn["Wv"].matmul(kf)
-    x = x + vf  # channel_mix_v7: out = v (ref: channel_mix.wgsl:101-102)
+    # channel_mix_v7: out = v (ref: channel_mix.wgsl:101-102)
+    vf = hk("pre_ffn_channel_mix", v=vf)["v"]
+    vf = hk("post_ffn_channel_mix", x=vf)["x"]
+    x = x + vf
     x = hk("post_ffn", x=x)["x"]
 
     new = {
@@ -559,17 +767,15 @@ def forward_chunk(
     """
     if input_embeds is not None:
         T = input_embeds.shape[1]
-        mask = jnp.arange(T)[None, :] < lengths[:, None]
-        from ..ops import basic as _B
-
-        x = _B.layer_norm(
-            input_embeds.astype(jnp.float32), params["ln0"]["w"],
-            params["ln0"]["b"], LN_EPS,
-        )
+        x0 = input_embeds.astype(jnp.float32)
     else:
         T = tokens.shape[1]
-        mask = jnp.arange(T)[None, :] < lengths[:, None]
-        x = embed_tokens(params, tokens)
+        x0 = params["emb"][tokens].astype(jnp.float32)
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    if hooks is not None:
+        # pre-ln0 embedding rows (ref: Hook::PostEmbedLoaded)
+        x0 = HookCtx(hooks, -1)("post_embed_loaded", x=x0)["x"]
+    x = B.layer_norm(x0, params["ln0"]["w"], params["ln0"]["b"], LN_EPS)
     x = jnp.where(mask[..., None], x, 0.0)
 
     version = info.version
@@ -578,6 +784,27 @@ def forward_chunk(
     layer_ids = jnp.arange(L)
     do_rescale = rescale is not None and rescale < L
 
+    # whole-stack decode kernel: one Pallas launch runs every layer with
+    # cross-layer DMA/compute pipelining (ops/pallas/layer7.py); numerics
+    # match the composed path (pinned by test_pallas.py::test_layer_scan7)
+    if (
+        version == ModelVersion.V7
+        and hooks is None
+        and T == 1
+        and x.shape[0] <= 4
+        and "mega7" in params
+        and not isinstance(blocks, list)
+        and not isinstance(state, list)
+        and _use_pallas()
+    ):
+        from ..ops.pallas.layer7 import layer_scan7
+
+        xo, new_state = layer_scan7(
+            params["mega7"], state, x[:, 0], mask[:, 0],
+            rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS,
+        )
+        return xo[:, None], new_state
+
     # per-layer (list) blocks — e.g. mixed per-layer quant formats —
     # cannot lax.scan; run them through the unrolled path (same for
     # per-layer list STATE, which only the unrolled path understands)
@@ -585,7 +812,8 @@ def forward_chunk(
         hooks = {}
 
     if hooks is not None:
-        x = HookCtx(hooks, -1)("post_embed", x=x)["x"]
+        x = HookCtx(hooks, -1)("post_embed_layer_norm", x=x)["x"]
+        x = HookCtx(hooks, -1)("post_embed", x=x)["x"]  # legacy alias
         # state may arrive as a per-layer LIST (the fused generation loop
         # carries it that way so no [L, ...] stack/slice happens per step);
         # the output state mirrors the input's form

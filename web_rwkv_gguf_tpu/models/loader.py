@@ -187,7 +187,7 @@ def group_gemv_matrices(mats: list) -> dict | None:
     when the matrices aren't uniformly eligible (different kinds/shapes,
     no precomputed scale operands, or a tiled — non-whole-M — layout)."""
     from ..ops.pallas.matmul import _gemv_block_m
-    from .matrix import Matrix
+    from .matrix import Matrix, _gemv_scale_arrays
 
     if not all(isinstance(mt, Matrix) for mt in mats):
         return None
@@ -197,17 +197,32 @@ def group_gemv_matrices(mats: list) -> dict | None:
     m, k = mats[0].dims()
     if any(mt.kind != kind or mt.dims() != (m, k) for mt in mats):
         return None
-    if any("st" not in mt.arrays for mt in mats):
-        return None
     kdim = mats[0].arrays["codes"].shape[-1]
     if _gemv_block_m(m, kdim) != m:
         return None  # grouped kernel serves one whole matrix per grid step
+
+    def v1_ops(mt):
+        # the grouped kernel keeps the v1 per-nibble layout; its operands
+        # are built here (Matrix stores the v2 packed-pair layout)
+        a = mt.arrays
+        if kind == "int8":
+            mn = np.asarray(a["mn"], np.float32)
+            scales = (np.asarray(a["mx"], np.float32) - mn) / 255.0
+            return _gemv_scale_arrays(m, k, scales, mn, kdim=kdim)
+        mins = np.asarray(a["mins"], np.float32) if "mins" in a else None
+        return _gemv_scale_arrays(
+            m, k, np.asarray(a["scales"], np.float32), mins, kdim=kdim
+        )
+
+    ops = [v1_ops(mt) for mt in mats]
+    if not ops[0]:
+        return None
     out = {
         "codes": jnp.concatenate([mt.arrays["codes"] for mt in mats]),
-        "st": jnp.stack([mt.arrays["st"] for mt in mats]),
+        "st": jnp.stack([o["st"] for o in ops]),
     }
-    if "mnt" in mats[0].arrays:
-        out["mnt"] = jnp.stack([mt.arrays["mnt"] for mt in mats])
+    if "mnt" in ops[0]:
+        out["mnt"] = jnp.stack([o["mnt"] for o in ops])
     return out
 
 
@@ -244,6 +259,66 @@ def unroll_params(params: dict) -> dict:
             if grouped is not None:
                 att["Wrkv_g"] = grouped
     return out
+
+
+def densify_matrices(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Dense copies of every quantized matrix (one-time dequantize into
+    HBM). Prefill is MXU-bound, not weight-DMA-bound, so running chunks
+    against cached dense weights removes the per-chunk dequant VPU work
+    entirely — the TPU answer to the reference's finding that its K-quant
+    prefill shaders barely broke even (BASELINE.md notes, gguf.rs:1785).
+    Decode keeps the quantized arrays (it IS DMA-bound). Cost: dense-model
+    HBM footprint alongside the quantized one (~2.3x total for Q4_K)."""
+
+    def densify(node):
+        if isinstance(node, Matrix) and node.kind != "dense":
+            return Matrix.dense(node.dequantize(dtype))
+        return node
+
+    def walk(tree):
+        if isinstance(tree, Matrix):
+            return densify(tree)
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    out = dict(params)
+    out["head"] = densify(params["head"])
+    out["blocks"] = walk(params["blocks"])
+    out.pop("mega7", None)  # decode-only blocks: not needed for prefill
+    return out
+
+
+def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
+    """Arrange params for fastest single-device decode.
+
+    V7 models whose matrices are uniformly quantized get the whole-stack
+    decode kernel blocks attached as ``params["mega7"]``
+    (ops/pallas/layer7.py — one Pallas launch runs all layers; weights
+    stay in the stacked scan form). Anything else — including engines
+    decoding more than 4 lanes, where the whole-stack kernel's in-kernel
+    gemv expansion stops paying — falls back to :func:`unroll_params`
+    (per-layer buffers, no scan-slice copies).
+    """
+    from ..models.info import ModelVersion
+    from ..ops.pallas import config as _pcfg
+
+    if (
+        info.version == ModelVersion.V7
+        and batch_hint <= 4
+        and _pcfg.use_pallas()
+        and not isinstance(params.get("blocks"), list)
+    ):
+        from ..ops.pallas.layer7 import prep_decode7
+
+        mega = prep_decode7(params, info)
+        if mega is not None:
+            out = dict(params)
+            out["mega7"] = mega
+            return out
+    return unroll_params(params)
 
 
 def _has_ragged(tree) -> bool:
@@ -334,6 +409,13 @@ def load_model(
     def dense_f32(fmt):
         return _stack([ld.matrix_f32(fmt.format(i=i)) for i in range(L)])
 
+    def dense_d(fmt):
+        """Small dense adapter matrices in the model compute dtype (the
+        reference stores/loads these as F16 and matmuls them with its
+        fp16 shaders, loader.rs:104-132 + matmul_vec_fp16; bf16 here
+        halves their decode HBM traffic vs f32)."""
+        return dense_f32(fmt).astype(dtype)
+
     if version == ModelVersion.V4:
         blocks["att"] = {
             "time_decay": vecs("blocks.{i}.att.time_decay"),
@@ -396,10 +478,10 @@ def load_model(
             "time_first": vecs("blocks.{i}.att.time_first").reshape(L, H, hs),
             "mix_x": vecs("blocks.{i}.att.time_mix_x"),
             "time_mix": jnp.asarray(time_mix),
-            "tm_w1": dense_f32("blocks.{i}.att.time_mix_w1"),  # [L, 5r, C]
-            "tm_w2": dense_f32("blocks.{i}.att.time_mix_w2"),  # [L, 5, C, r]
-            "td_w1": dense_f32("blocks.{i}.att.time_decay_w1"),  # [L, D, C]
-            "td_w2": dense_f32("blocks.{i}.att.time_decay_w2"),  # [L, C, D]
+            "tm_w1": dense_d("blocks.{i}.att.time_mix_w1"),  # [L, 5r, C]
+            "tm_w2": dense_d("blocks.{i}.att.time_mix_w2"),  # [L, 5, C, r]
+            "td_w1": dense_d("blocks.{i}.att.time_decay_w1"),  # [L, D, C]
+            "td_w2": dense_d("blocks.{i}.att.time_decay_w2"),  # [L, C, D]
             "gn": {"w": vecs("blocks.{i}.att.ln_x.weight"),
                    "b": vecs("blocks.{i}.att.ln_x.bias")},
             "Wk": mats("blocks.{i}.att.key.weight"),
@@ -438,14 +520,14 @@ def load_model(
             "w0": vecs("blocks.{i}.att.w0"),
             "a0": vecs("blocks.{i}.att.a0"),
             "v0": _stack(v0),
-            "w1": dense_f32("blocks.{i}.att.w1"),
-            "w2": dense_f32("blocks.{i}.att.w2"),
-            "a1": dense_f32("blocks.{i}.att.a1"),
-            "a2": dense_f32("blocks.{i}.att.a2"),
-            "g1": dense_f32("blocks.{i}.att.g1"),
-            "g2": dense_f32("blocks.{i}.att.g2"),
-            "v1": _stack(v1),
-            "v2": _stack(v2),
+            "w1": dense_d("blocks.{i}.att.w1"),
+            "w2": dense_d("blocks.{i}.att.w2"),
+            "a1": dense_d("blocks.{i}.att.a1"),
+            "a2": dense_d("blocks.{i}.att.a2"),
+            "g1": dense_d("blocks.{i}.att.g1"),
+            "g2": dense_d("blocks.{i}.att.g2"),
+            "v1": _stack(v1).astype(dtype),
+            "v2": _stack(v2).astype(dtype),
             "r_k": _stack([_np(reader, f"blocks.{i}.att.r_k").reshape(H, hs) for i in range(L)]),
             "k_k": vecs("blocks.{i}.att.k_k"),
             "k_a": vecs("blocks.{i}.att.k_a"),
@@ -456,6 +538,19 @@ def load_model(
             "Wr": mats("blocks.{i}.att.receptance.weight"),
             "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
         }
+        att = blocks["att"]
+        # decode fast-path stacks: one lerp serves all six token shifts,
+        # two MXU dots serve all four inner-LoRA adapter pairs (forward's
+        # _lora_stacked masks the cross blocks to exact zeros)
+        att["x_stack"] = jnp.stack(
+            [att[f"x_{s}"] for s in "rwkvag"], axis=1
+        )  # [L, 6, C]
+        att["lora_down"] = jnp.concatenate(
+            [att["w1"], att["a1"], att["g1"], att["v1"]], axis=1
+        )  # [L, D, C], D = dw+da+dg+dv
+        att["lora_up"] = jnp.concatenate(
+            [att["w2"], att["a2"], att["g2"], att["v2"]], axis=2
+        )  # [L, C, D]
         blocks["ffn"] = {
             "x_k": vecs("blocks.{i}.ffn.x_k"),
             "Wk": mats("blocks.{i}.ffn.key.weight"),

@@ -26,16 +26,15 @@ from ..quant import formats as qf
 
 
 def _gemv_scale_arrays(m: int, k: int, scales, mins, kdim: int | None = None) -> dict:
-    """Precomputed transposed position-ordered scale operands for the
-    Pallas decode gemv (ops/pallas/matmul.py::_quant_gemv).
+    """v1 position-ordered scale operands (ops/pallas/matmul.py::
+    ``_quant_gemv``, the per-nibble-extraction kernel) — still used by the
+    NF4/SF4 LUT path and the grouped r/k/v kernel.
 
-    The gemv kernel's bitcast unpack interleaves rows within each M-tile
+    The v1 kernel's bitcast unpack interleaves rows within each M-tile
     (position tile·BM + b·BM/4 + s ↔ logical row tile·BM + 4s + b); its
-    scale operands must be [G, M] in that position order. Building them at
-    load time keeps the (large) transpose out of callers' decode loops,
-    where XLA fails to hoist it. ``kdim`` is the packed code-block K width
-    (k/2 for nibble-packed kinds); the M-tile choice depends on it and
-    must match the kernel's (same ``_gemv_block_m`` call).
+    scale operands must be [G, M] in that position order. ``kdim`` is the
+    packed code-block K width (k/2 for nibble-packed kinds); the M-tile
+    choice must match the kernel's (same ``_gemv_block_m`` call).
     """
     from ..ops.pallas.matmul import _gemv_block_m
 
@@ -54,29 +53,58 @@ def _gemv_scale_arrays(m: int, k: int, scales, mins, kdim: int | None = None) ->
     return out
 
 
-def recompute_gemv_arrays(kind: str, arrays: dict, m: int, k: int) -> dict:
+def _gemv_ops(kind, scales, mins, m, k, kdim, signed) -> dict:
+    """v2 packed-pair gemv operands (ops/pallas/matmul.py::
+    ``build_gemv_operands``): scale rows + the folded offset operand."""
+    from ..ops.pallas.matmul import build_gemv_operands
+
+    return build_gemv_operands(kind, scales, mins, m, k, kdim, signed)
+
+
+def recompute_gemv_arrays(
+    kind: str, arrays: dict, m: int, k: int, signed: bool | None = None
+) -> dict:
     """Rebuild the derived gemv scale operands ("st"/"mnt") for a Matrix
     reconstructed from storage (snapshots drop them — their layout is
-    tied to the kernel M-tile choice). Handles layer-stacked arrays."""
+    tied to the kernel M-tile choice). Handles layer-stacked arrays.
+    ``signed`` (code dtype) matters for qk_nomin's offset fold; inferred
+    from ``arrays["codes"]`` when present."""
+    if signed is None and "codes" in arrays:
+        signed = np.asarray(arrays["codes"]).dtype == np.int8
     if kind == "int8":
         mn = np.asarray(arrays["mn"], np.float32)
         mx = np.asarray(arrays["mx"], np.float32)
-        scales, mins = (mx - mn) / 255.0, mn
-    elif kind in ("qk", "qk_b", "qk_nomin"):
-        scales = np.asarray(arrays["scales"], np.float32)
-        mins = np.asarray(arrays["mins"], np.float32) if "mins" in arrays else None
-    else:
-        return {}
-    kdim = k // 2 if kind == "qk" else k
-    if scales.ndim == 2:
-        return _gemv_scale_arrays(m, k, scales, mins, kdim=kdim)
-    outs = [
-        _gemv_scale_arrays(m, k, scales[i], None if mins is None else mins[i], kdim=kdim)
-        for i in range(scales.shape[0])
-    ]
-    if not outs or not outs[0]:
-        return {}
-    return {key: jnp.stack([o[key] for o in outs]) for key in outs[0]}
+        return _gemv_ops(kind, (mx - mn) / 255.0, mn, m, k, k, False)
+    if kind == "qk":
+        return _gemv_ops(
+            kind, np.asarray(arrays["scales"], np.float32),
+            np.asarray(arrays["mins"], np.float32), m, k, k // 2, False,
+        )
+    if kind == "qk_b":
+        return _gemv_ops(
+            kind, np.asarray(arrays["scales"], np.float32),
+            np.asarray(arrays["mins"], np.float32), m, k, k, False,
+        )
+    if kind == "qk_nomin":
+        if signed is None:
+            raise ValueError("qk_nomin operand rebuild needs the code sign")
+        return _gemv_ops(
+            kind, np.asarray(arrays["scales"], np.float32), None, m, k, k,
+            signed,
+        )
+    if kind == "nf4":
+        am = np.asarray(arrays["absmax"], np.float32)
+        scales = np.concatenate([am, am], -1)
+        if scales.ndim == 2:
+            return _gemv_scale_arrays(m, k, scales, None, kdim=k // 2)
+        outs = [
+            _gemv_scale_arrays(m, k, scales[i], None, kdim=k // 2)
+            for i in range(scales.shape[0])
+        ]
+        if not outs or not outs[0]:
+            return {}
+        return {key: jnp.stack([o[key] for o in outs]) for key in outs[0]}
+    return {}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -127,20 +155,26 @@ class Matrix:
                     "codes": jnp.asarray(codes.reshape(m, k)),
                     "mn": jnp.asarray(mn2),
                     "mx": jnp.asarray(mx2),
-                    **_gemv_scale_arrays(m, k, (mx2 - mn2) / 255.0, mn2),
+                    **_gemv_ops("int8", (mx2 - mn2) / 255.0, mn2, m, k, k, False),
                 },
             )
         if scheme in (qf.QuantScheme.NF4, qf.QuantScheme.SF4):
             lut = qf.NF4_QUANTILES if scheme == qf.QuantScheme.NF4 else qf.sf4_quantiles()
             packed, absmax, lut = qf.quantize_nf4(np.asarray(w, np.float32), lut)
             g = qf.NF4_BLOCK_SIZE
+            am = absmax.astype(np.float32).reshape(m, k // g)
             return cls(
                 "nf4",
                 (m, k),
                 {
                     "codes": jnp.asarray(packed.reshape(m, k // 2)),
-                    "absmax": jnp.asarray(absmax.astype(np.float32).reshape(m, k // g)),
+                    "absmax": jnp.asarray(am),
                     "lut": jnp.asarray(lut),
+                    # tiled-absmax position-ordered scale operand for the
+                    # fused LUT gemv (lo/hi planes share the per-64 group)
+                    **_gemv_scale_arrays(
+                        m, k, np.concatenate([am, am], -1), None, kdim=k // 2
+                    ),
                 },
             )
         raise ValueError(f"unsupported scheme {scheme}")
@@ -166,7 +200,7 @@ class Matrix:
                     "codes": jnp.asarray(codes),
                     "scales": jnp.asarray(scales),
                     "mins": jnp.asarray(mins),
-                    **_gemv_scale_arrays(m, k, scales, mins, kdim=k // 2),
+                    **_gemv_ops("qk", scales, mins, m, k, k // 2, False),
                 },
             )
         if dtype == GgmlDType.Q5_K:
@@ -178,7 +212,7 @@ class Matrix:
                     "codes": jnp.asarray(codes),
                     "scales": jnp.asarray(scales),
                     "mins": jnp.asarray(mins),
-                    **_gemv_scale_arrays(m, k, scales, mins),
+                    **_gemv_ops("qk_b", scales, mins, m, k, k, False),
                 },
             )
         if dtype == GgmlDType.Q6_K:
@@ -187,7 +221,8 @@ class Matrix:
                 "qk_nomin",
                 (m, k),
                 {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_scale_arrays(m, k, scales, None)},
+                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                             codes.dtype == np.int8)},
             )
         if dtype == GgmlDType.Q8_0:
             codes, scales = repack.repack_q8_0(raw, m, k)
@@ -195,7 +230,29 @@ class Matrix:
                 "qk_nomin",
                 (m, k),
                 {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_scale_arrays(m, k, scales, None)},
+                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                             codes.dtype == np.int8)},
+            )
+        if dtype == GgmlDType.Q3_K:
+            codes, scales = repack.repack_q3_k(raw, m, k)
+            return cls(
+                "qk_nomin",
+                (m, k),
+                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                             codes.dtype == np.int8)},
+            )
+        if dtype == GgmlDType.Q2_K:
+            codes, scales, mins = repack.repack_q2_k(raw, m, k)
+            return cls(
+                "qk_b",
+                (m, k),
+                {
+                    "codes": jnp.asarray(codes),
+                    "scales": jnp.asarray(scales),
+                    "mins": jnp.asarray(mins),
+                    **_gemv_ops("qk_b", scales, mins, m, k, k, False),
+                },
             )
         if dtype == GgmlDType.Q4_0:
             codes, scales = repack.repack_q4_0(raw, m, k)
@@ -203,7 +260,8 @@ class Matrix:
                 "qk_nomin",
                 (m, k),
                 {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_scale_arrays(m, k, scales, None)},
+                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                             codes.dtype == np.int8)},
             )
         raise ValueError(f"no direct-quantized repack for {dtype!r}")
 
@@ -283,7 +341,7 @@ class Matrix:
             return d
 
         if (
-            self.kind in ("qk", "qk_b", "qk_nomin", "int8")
+            self.kind in ("qk", "qk_b", "qk_nomin", "int8", "nf4")
             and self.arrays["codes"].ndim == 2
             # Mosaic needs an M-tile of at least 8 sublanes; matrices whose
             # M has no pow2 divisor >= 8 (e.g. odd vocab sizes) take the

@@ -90,6 +90,25 @@ def token_shift(
     return lerp(x_prev, x, mix)
 
 
+def token_shift_multi(
+    x: jax.Array,  # [B, T, C]
+    shift_state: jax.Array,  # [B, C]
+    mixes: jax.Array,  # [S, C] stacked mix factors
+    *,
+    reversed_mix: bool = True,
+) -> jax.Array:
+    """All ``S`` token shifts of the same input in one fused lerp:
+    returns ``[B, T, S, C]`` (slice the S axis for the individual shifted
+    copies). Collapses V7's six per-layer ``token_shift`` ops into one
+    (ref: token_shift.wgsl called 6x per layer, v7.rs:762-800)."""
+    x_prev = jnp.concatenate([shift_state[:, None, :], x[:, :-1, :]], axis=1)
+    xe, pe = x[:, :, None, :], x_prev[:, :, None, :]
+    m = mixes[None, None]
+    if reversed_mix:
+        return lerp(xe, pe, m)
+    return lerp(pe, xe, m)
+
+
 def update_shift_state(
     x: jax.Array,  # [B, T, C]
     lengths: jax.Array,  # [B] number of valid tokens this chunk

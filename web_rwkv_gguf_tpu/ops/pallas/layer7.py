@@ -1,0 +1,633 @@
+"""Whole-stack RWKV-7 decode step as ONE Pallas kernel: grid over layers.
+
+The batch-1 decode step was op-count-bound: ~25 XLA fusions + 5 kernel
+launches per layer cost ~22 µs against a ~5 µs weight-DMA floor
+(scripts/bench_decode_breakdown.py). This kernel runs the ENTIRE layer
+stack in one ``pallas_call`` with ``grid=(L,)``: step ``i`` computes
+layer ``i`` from its stacked weight blocks while Pallas's automatic
+input pipelining prefetches layer ``i+1``'s blocks — the glue, the
+launch overheads, and the per-layer DMA stalls all disappear, and the
+surrounding HLO shrinks from ~300 ops to ~10 (which also removes the
+minutes-long cold-start compile of the unrolled decode loop).
+
+The residual ``x`` and the value-residual carry ``v0`` live in VMEM
+scratch across grid steps; per-layer recurrent state (shift rows, WKV
+matrices) streams through layer-indexed input/output blocks.
+
+Weight layout: every quantized matrix is stored with its M rows
+permuted by ``perm[r] = (r % 4)·(M/4) + r⌊/4⌋`` (``prep_decode7``), so
+the bitcast gemv's four byte planes produce CONTIGUOUS quarters of the
+logical output — the in-kernel result is assembled with one lane
+concat and no cross-lane interleave, and scale operands are plain
+transposes. (The standalone gemv kernel instead emits an interleaved
+output and untangles it outside; see ops/pallas/matmul.py.)
+
+Math is identical to models/forward._layer_v7 (ref: v7.rs:716-1007);
+the attention core repeats ops/pallas/wkv7._att_core7_kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import config
+
+_VMEM_LIMIT = 100 << 20
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------------
+
+
+def _gemv_val(x, codes, st, off, *, split, m, k):
+    """y[n, m] = x @ Wᵀ for one mega-arranged quantized matrix, as values.
+
+    Nibble planes are turned into PACKED bf16 pairs by pure bit surgery:
+    ``0x4180 | (nib << 3)`` is exactly ``bf16(16 + nib)``, so one masked
+    shift-or per two bytes replaces the shift/mask/convert/convert chain
+    (~2x less VPU unpack work); the +16 bias and any code offsets fold
+    into the group-sum correction term, whose operands ``off`` are
+    precomputed at prep time (see :func:`_prep_matrix`). Codes are u8,
+    row-arranged so plane A covers logical rows [0, m/2) and plane B
+    [m/2, m) in order — the result assembles with one 2-piece lane
+    concat. ``st``/``off`` are PLAIN transposed logical scale/offset
+    arrays; for byte kinds ``st`` carries [s ; 16·s] stacked (the hi
+    nibble's scale).
+    """
+    n = x.shape[0]
+    kdim = codes.shape[-1]
+    m2 = m // 2
+    w = pltpu.bitcast(codes, jnp.int32)  # [m/4, kdim]
+    c0 = jnp.int32(0x41804180)
+    mk = jnp.int32(0x000F000F)
+    # bf16 [m/2, kdim]: plane A col c ↔ arranged row 2c (logical c),
+    # plane B col c ↔ arranged row 2c+1 (logical m/2 + c)
+    pa_lo = pltpu.bitcast(c0 | ((w & mk) << 3), jnp.bfloat16)
+    pb_lo = pltpu.bitcast(c0 | (((w >> 8) & mk) << 3), jnp.bfloat16)
+    pa_hi = pltpu.bitcast(c0 | (((w >> 4) & mk) << 3), jnp.bfloat16)
+    pb_hi = pltpu.bitcast(c0 | (((w >> 12) & mk) << 3), jnp.bfloat16)
+
+    gs_rows = st.shape[0]
+    g = gs_rows // 2 if not split else gs_rows  # x-group count basis
+    gh = g // 2 if split else g  # groups per expanded-x copy
+    gsize = k // g if split else k // g
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 0)
+    ).astype(jnp.bfloat16)
+
+    def group_expand(xpart):  # [n, kdim] -> [n*gh, kdim]
+        x3 = jnp.expand_dims(xpart, 1)
+        return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * gh, kdim)
+
+    def dot(xs, part):
+        return jax.lax.dot_general(
+            xs, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if split:
+        xlo = group_expand(x[:, :kdim])
+        xhi = group_expand(x[:, kdim:])
+        sxl = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+        sxh = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+        qa = (dot(xlo, pa_lo), dot(xhi, pa_hi))  # each [n*gh, m/2]
+        qb = (dot(xlo, pb_lo), dot(xhi, pb_hi))
+    else:
+        xm = group_expand(x)
+        sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+        qa = (dot(xm, pa_lo), dot(xm, pa_hi))
+        qb = (dot(xm, pb_lo), dot(xm, pb_hi))
+
+    outs = []
+    for nn in range(n):
+        sl = slice(nn * gh, (nn + 1) * gh)
+        p_a = jnp.concatenate([qa[0][sl], qa[1][sl]], axis=0)  # [Gs, m/2]
+        p_b = jnp.concatenate([qb[0][sl], qb[1][sl]], axis=0)
+        if split:
+            sx = jnp.concatenate([sxl[sl], sxh[sl]], axis=0)  # [g, 1]
+        else:
+            sx = sxm[sl]
+        y_a = (
+            jnp.sum(p_a * st[:, :m2], axis=0, keepdims=True)
+            - jnp.sum(off[:, :m2] * sx, axis=0, keepdims=True)
+        )
+        y_b = (
+            jnp.sum(p_b * st[:, m2:], axis=0, keepdims=True)
+            - jnp.sum(off[:, m2:] * sx, axis=0, keepdims=True)
+        )
+        outs.append(jnp.concatenate([y_a, y_b], axis=-1))  # [1, m]
+    return jnp.concatenate(outs, axis=0) if n > 1 else outs[0]
+
+
+def _ln(x, w, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+# [B, C] ↔ [B, H, hs] relayouts. Minor-dim reshapes and mixed-offset lane
+# concats are unavailable in Mosaic; instead the reshape rides the MXU as
+# two 0/1 selection-mask contractions — every output element is a sum with
+# exactly ONE nonzero term, so the f32 dot is exact.
+
+
+def _head_masks(C, H, hs):
+    m1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, C), 1) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
+    ).astype(jnp.float32)  # [H, C]: m1[h, c] = (c//hs == h)
+    m2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, hs), 0) % hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, hs), 1)
+    ).astype(jnp.float32)  # [C, k]: m2[c, k] = (c%hs == k)
+    return m1, m2
+
+
+def _to_heads(xc, m1, m2, B):
+    outs = []
+    for b in range(B):
+        t = m1 * xc[b : b + 1]  # [H, C]
+        outs.append(
+            jax.lax.dot_general(
+                t, m2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[None]
+        )
+    return jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+
+
+def _from_heads(y, m1, m2, B):
+    outs = []
+    for b in range(B):
+        u = jax.lax.dot_general(
+            y[b], m2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, C] = y[h, c%hs]
+        outs.append(jnp.sum(m1 * u, axis=0, keepdims=True))
+    return jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _layer_scan_kernel(
+    # per-layer blocks (leading 1 from the L axis)
+    ln1_ref, ln2_ref,  # [1, 2, C] (w, b)
+    xstack_ref,  # [1, 6, C] token-shift mixes r,w,k,v,a,g
+    vecs_ref,  # [1, 6, C] w0, a0, v0, k_k, k_a, ffn x_k
+    gn_ref,  # [1, 2, C] group-norm w, b
+    rk_ref,  # [1, H, hs]
+    down_ref,  # [1, D, C] bf16
+    up_ref,  # [1, C, D] bf16
+    rkv_codes_ref, rkv_st_ref, rkv_off_ref,  # [1, 3m, kdim], [1, 3, Gs, m]
+    wo_codes_ref, wo_st_ref, wo_off_ref,
+    fk_codes_ref, fk_st_ref, fk_off_ref,
+    fv_codes_ref, fv_st_ref, fv_off_ref,
+    x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref,
+    x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref,
+    x_scr, v0_scr,
+    *,
+    # statics
+    B, C, H, hs, hidden, L, rescale,
+    rkv_split, wo_split, fk_split, fv_split,
+    lora_dims, eps_ln, eps_gn, eps_l2,
+):
+
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(i == 0)
+    def _init():
+        x_scr[:] = x_in_ref[:]
+
+    x = x_scr[:]
+    m_lane = mask_ref[:]  # [B, 1] f32
+
+    ln1w, ln1b = ln1_ref[0, 0:1], ln1_ref[0, 1:2]
+    xx = _ln(x, ln1w, ln1b, eps_ln)
+
+    # --- token shifts (one lerp per stream) --------------------------------
+    sh = ash_in_ref[0]  # [B, C]
+    mixes = xstack_ref[0]  # [6, C]
+    shifted = [xx + mixes[s : s + 1] * (sh - xx) for s in range(6)]
+    rx, wx, kx, vx, ax, gx = shifted
+
+    # --- r/k/v projections (grouped quantized gemv) ------------------------
+    mdim = C
+    rkv = []
+    for j, xin in enumerate((rx, kx, vx)):
+        codes = rkv_codes_ref[0, j * mdim : (j + 1) * mdim]
+        rkv.append(
+            _gemv_val(xin.astype(jnp.bfloat16), codes, rkv_st_ref[0, j],
+                      rkv_off_ref[0, j], split=rkv_split, m=mdim, k=C)
+        )
+    r, k, v = rkv
+
+    # --- inner-LoRA adapters (w/a/g/v) -------------------------------------
+    down = down_ref[0]  # [D, C] bf16
+    up = up_ref[0]  # [C, D] bf16
+    offs = np.cumsum([0] + list(lora_dims))
+
+    def lora(xin, idx, mid_act=None):
+        a_w = down[offs[idx] : offs[idx + 1]]  # [d, C]
+        z = jax.lax.dot_general(
+            xin.astype(jnp.bfloat16), a_w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [B, d]
+        if mid_act is not None:
+            z = mid_act(z)
+        b_w = up[:, offs[idx] : offs[idx + 1]]  # [C, d]
+        return jax.lax.dot_general(
+            z.astype(jnp.bfloat16), b_w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [B, C]
+
+    w0 = vecs_ref[0, 0:1]
+    a0 = vecs_ref[0, 1:2]
+    v0v = vecs_ref[0, 2:3]
+    kkv = vecs_ref[0, 3:4]
+    kav = vecs_ref[0, 4:5]
+
+    w_in = w0 + lora(wx, 0, jnp.tanh)
+    a_in = a0 + lora(ax, 1)
+    g_fl = lora(gx, 2, jax.nn.sigmoid)
+    vm = lora(vx, 3)
+
+    # --- value residual from layer 0 (ref: v7.rs:895-921) ------------------
+    v_mix = jax.nn.sigmoid(v0v + vm)
+    is_first = i == 0
+
+    @pl.when(is_first)
+    def _store_v0():
+        v0_scr[:] = v
+
+    v0c = v0_scr[:]
+    v = jnp.where(is_first, v, v + v_mix * (v0c - v))
+
+    # --- attention core (ref: _att_core7_kernel) ---------------------------
+    m1, m2 = _head_masks(C, H, hs)
+    rh = _to_heads(r, m1, m2, B)
+    wh = _to_heads(w_in, m1, m2, B)
+    kh = _to_heads(k, m1, m2, B)
+    vh = _to_heads(v, m1, m2, B)
+    ah = _to_heads(a_in, m1, m2, B)
+    gh_ = _to_heads(g_fl, m1, m2, B)
+    kk_h = _to_heads(kkv, m1, m2, 1)
+    ka_h = _to_heads(kav, m1, m2, 1)
+    gnw_h = _to_heads(gn_ref[0, 0:1], m1, m2, 1)
+    gnb_h = _to_heads(gn_ref[0, 1:2], m1, m2, 1)
+    rk_h = rk_ref[0][None]  # [1, H, hs]
+
+    S = wkv_in_ref[0]  # [B, H, K, V]
+    w2 = jnp.exp(-0.606531 * jax.nn.sigmoid(wh))
+    a2 = jax.nn.sigmoid(ah)
+    kkr = kh * kk_h
+    kk = kkr * jax.lax.rsqrt(jnp.sum(kkr * kkr, axis=2, keepdims=True) + eps_l2)
+    k2 = kh * (1.0 + (a2 - 1.0) * ka_h)
+
+    rt = rh[:, :, :, None]
+    wt = w2[:, :, :, None]
+    kt = k2[:, :, :, None]
+    at = -kk[:, :, :, None]
+    bt = (kk * a2)[:, :, :, None]
+    vt = vh[:, :, None, :]
+
+    sa = jnp.sum(at * S, axis=2, keepdims=True)
+    S_n = wt * S + kt * vt + bt * sa
+    mst = m_lane[:, :, None, None]
+    wkv_out_ref[0] = S + mst * (S_n - S)
+    y0 = jnp.sum(rt * S_n, axis=2)  # [B, H, V]
+
+    mu = jnp.mean(y0, axis=2, keepdims=True)
+    var = jnp.mean((y0 - mu) * (y0 - mu), axis=2, keepdims=True)
+    yn = (y0 - mu) * jax.lax.rsqrt(var + eps_gn) * gnw_h + gnb_h
+    sb = jnp.sum(rh * k2 * rk_h, axis=2, keepdims=True)
+    y = (yn + sb * vh) * gh_  # [B, H, V]
+
+    y_fl = _from_heads(y, m1, m2, B)  # [B, C]
+
+    # --- output projection + residual --------------------------------------
+    dx = _gemv_val(
+        y_fl.astype(jnp.bfloat16), wo_codes_ref[0], wo_st_ref[0],
+        wo_off_ref[0], split=wo_split, m=C, k=C,
+    )
+    x = x + dx
+    ash_out_ref[0] = sh + m_lane * (xx - sh)
+
+    # --- FFN ----------------------------------------------------------------
+    ln2w, ln2b = ln2_ref[0, 0:1], ln2_ref[0, 1:2]
+    xx2 = _ln(x, ln2w, ln2b, eps_ln)
+    fsh = fsh_in_ref[0]
+    fxk = vecs_ref[0, 5:6]
+    kx2 = xx2 + fxk * (fsh - xx2)
+    k_hid = _gemv_val(
+        kx2.astype(jnp.bfloat16), fk_codes_ref[0], fk_st_ref[0],
+        fk_off_ref[0], split=fk_split, m=hidden, k=C,
+    )
+    k_hid = jnp.maximum(k_hid, 0.0)
+    k_hid = k_hid * k_hid
+    vf = _gemv_val(
+        k_hid.astype(jnp.bfloat16), fv_codes_ref[0], fv_st_ref[0],
+        fv_off_ref[0], split=fv_split, m=C, k=hidden,
+    )
+    x = x + vf
+    fsh_out_ref[0] = fsh + m_lane * (xx2 - fsh)
+
+    if rescale is not None:
+        x = jnp.where((i + 1) % rescale == 0, x * 0.5, x)
+
+    x_scr[:] = x
+
+    @pl.when(i == L - 1)
+    def _final():
+        x_out_ref[:] = x
+
+
+# ---------------------------------------------------------------------------
+# host-side prep: stacked, row-permuted weight blocks
+# ---------------------------------------------------------------------------
+
+_QKINDS = ("qk", "qk_b", "qk_nomin", "int8")
+
+
+@jax.tree_util.register_pytree_node_class
+class DecodeBlocks7:
+    """Stacked decode blocks + static shape/kind metadata, registered as a
+    pytree so it can ride inside the params dict through jit/donation."""
+
+    def __init__(self, arrays: dict, static: dict):
+        self.arrays = arrays
+        self.static = static
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return (
+            tuple(self.arrays[k] for k in keys),
+            (keys, tuple(sorted(self.static.items()))),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, static_items = aux
+        return cls(dict(zip(keys, children)), dict(static_items))
+
+    def __getitem__(self, k):
+        return self.arrays[k]
+
+    def __contains__(self, k):
+        return k in self.arrays
+
+
+def _mega_perm(m: int) -> np.ndarray:
+    """arranged[r] = logical (r%2)*(m/2) + r//2 — plane A (low half-words
+    of the u8→i32→bf16 bitcast chain) lands on logical rows [0, m/2) in
+    order, plane B on [m/2, m)."""
+    r = np.arange(m)
+    return (r % 2) * (m // 2) + r // 2
+
+
+def _prep_matrix(mat) -> dict | None:
+    """Arrange a stacked quantized Matrix for :func:`_gemv_val`:
+    row-permuted unsigned codes, transposed logical scales (with the hi
+    nibble's 16x stacked for byte kinds), and the folded offset operand
+    covering code offsets + the bf16-pair +16 bias.
+
+    Per kind, with s = per-group scale, element value v and byte u:
+      qk        v = s·nib − mn           → off = mn + 16·s
+      qk_b      v = s·u − mn, u = 16h+l  → st = [s;16s], off = mn + 272·s
+      qk_nomin  v = s·q (u8 or i8+128)   → st = [s;16s], off = (272|400)·s
+      int8      v = mn + s·u             → st = [s;16s], off = 272·s − mn
+    """
+    from ...models.matrix import Matrix
+
+    if not isinstance(mat, Matrix) or mat.kind not in _QKINDS:
+        return None
+    a = mat.arrays
+    codes = np.asarray(a["codes"])
+    if codes.ndim != 3:
+        return None  # needs the stacked [L, m, kdim] form
+    L, m, kdim = codes.shape
+    if m % 8:
+        return None
+    codes = codes[:, _mega_perm(m)]
+    if codes.dtype == np.int8:
+        shift = 128.0
+        codes = (codes.astype(np.int16) + 128).astype(np.uint8)
+    else:
+        shift = 0.0
+        codes = codes.astype(np.uint8)
+
+    def t(x):  # [L, m, g] -> [L, g, m]
+        return np.ascontiguousarray(np.swapaxes(x, -1, -2))
+
+    if mat.kind == "qk":
+        s = np.asarray(a["scales"], np.float32)
+        mn = np.asarray(a["mins"], np.float32)
+        st = t(s)
+        off = t(mn + 16.0 * s)
+        split = True
+    else:
+        if mat.kind == "int8":
+            mn = np.asarray(a["mn"], np.float32)
+            mx = np.asarray(a["mx"], np.float32)
+            s = (mx - mn) / 255.0
+            off_l = 272.0 * s - mn
+        else:
+            s = np.asarray(a["scales"], np.float32)
+            base = np.asarray(a["mins"], np.float32) if "mins" in a else 0.0
+            off_l = base + (272.0 + shift) * s
+        st = np.concatenate([t(s), 16.0 * t(s)], axis=-2)  # [L, 2g, m]
+        off = t(off_l) if isinstance(off_l, np.ndarray) else t(off_l + 0 * s)
+        split = False
+    return {
+        "codes": jnp.asarray(codes),
+        "st": jnp.asarray(st),
+        "off": jnp.asarray(off),
+        "split": split,
+    }
+
+
+def prep_decode7(params: dict, info) -> dict | None:
+    """Build the stacked decode blocks for :func:`layer_scan7` from loaded
+    V7 params, or None if the model shape is ineligible (mixed per-layer
+    formats, dense/NF4 matrices, padded FFN, missing stacks)."""
+    blocks = params.get("blocks")
+    if isinstance(blocks, list) or not isinstance(blocks, dict):
+        return None
+    att, ffn = blocks["att"], blocks["ffn"]
+    if "x_stack" not in att or "lora_down" not in att:
+        return None
+    C, H, hs = info.num_emb, info.num_head, info.head_size
+    if C != H * hs:
+        return None
+
+    rkv = [_prep_matrix(att.get(k)) for k in ("Wr", "Wk", "Wv")]
+    wo = _prep_matrix(att.get("Wo"))
+    fk = _prep_matrix(ffn.get("Wk"))
+    fv = _prep_matrix(ffn.get("Wv"))
+    if any(p is None for p in rkv) or wo is None or fk is None or fv is None:
+        return None
+    if any(p["split"] != rkv[0]["split"] for p in rkv):
+        return None
+    if any(p["codes"].shape != rkv[0]["codes"].shape for p in rkv):
+        return None
+    if any(p["st"].shape != rkv[0]["st"].shape for p in rkv):
+        return None
+    hidden = fk["codes"].shape[1]
+    fv_k = fv["codes"].shape[-1] * (2 if fv["split"] else 1)
+    if fv_k != hidden:
+        return None  # tile-padded FFN key: hidden widths disagree
+
+    L = rkv[0]["codes"].shape[0]
+    dims = tuple(int(att[k].shape[-2]) for k in ("w1", "a1", "g1", "v1"))
+
+    def stackv(*names):
+        return jnp.stack([att[n].astype(jnp.float32) for n in names], axis=1)
+
+    mega = {
+        "ln1": jnp.stack([blocks["ln1"]["w"], blocks["ln1"]["b"]], axis=1),
+        "ln2": jnp.stack([blocks["ln2"]["w"], blocks["ln2"]["b"]], axis=1),
+        "x_stack": att["x_stack"].astype(jnp.float32),
+        "vecs": jnp.stack(
+            [att["w0"], att["a0"], att["v0"], att["k_k"], att["k_a"],
+             ffn["x_k"]], axis=1
+        ).astype(jnp.float32),
+        "gn": jnp.stack([att["gn"]["w"], att["gn"]["b"]], axis=1).astype(
+            jnp.float32
+        ),
+        "r_k": att["r_k"].astype(jnp.float32),
+        "down": att["lora_down"].astype(jnp.bfloat16),
+        "up": att["lora_up"].astype(jnp.bfloat16),
+        "rkv_codes": jnp.concatenate([p["codes"] for p in rkv], axis=1),
+        "rkv_st": jnp.stack([p["st"] for p in rkv], axis=1),
+        "rkv_off": jnp.stack([p["off"] for p in rkv], axis=1),
+        "wo_codes": wo["codes"], "wo_st": wo["st"], "wo_off": wo["off"],
+        "fk_codes": fk["codes"], "fk_st": fk["st"], "fk_off": fk["off"],
+        "fv_codes": fv["codes"], "fv_st": fv["st"], "fv_off": fv["off"],
+    }
+    static = {
+        "L": int(L), "C": int(C), "H": int(H), "hs": int(hs),
+        "hidden": int(hidden), "lora_dims": dims,
+        "rkv_split": rkv[0]["split"], "wo_split": wo["split"],
+        "fk_split": fk["split"], "fv_split": fv["split"],
+    }
+    return DecodeBlocks7(mega, static)
+
+
+# ---------------------------------------------------------------------------
+# call wrapper
+# ---------------------------------------------------------------------------
+
+
+def layer_scan7(
+    mega: DecodeBlocks7,
+    state: dict,  # stacked pytree: att_shift [L,B,C], wkv [L,B,H,K,V], ffn_shift
+    x: jax.Array,  # [B, C] post-ln0 residual input
+    mask: jax.Array,  # [B] 0/1
+    rescale: int | None,
+    eps_ln: float, eps_gn: float, eps_l2: float,
+) -> tuple[jax.Array, dict]:
+    s = mega.static
+    L, C, H, hs, hidden = s["L"], s["C"], s["H"], s["hs"], s["hidden"]
+    B = x.shape[0]
+    f32 = jnp.float32
+    D = mega["down"].shape[1]
+
+    def blk(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, _n=nd: (i,) + (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    operands = [
+        mega["ln1"], mega["ln2"], mega["x_stack"], mega["vecs"], mega["gn"],
+        mega["r_k"], mega["down"], mega["up"],
+    ]
+    in_specs = [
+        blk((2, C)), blk((2, C)), blk((6, C)), blk((6, C)), blk((2, C)),
+        blk((H, hs)), blk((D, C)), blk((C, D)),
+    ]
+    for tag in ("rkv", "wo", "fk", "fv"):
+        for part in ("codes", "st", "off"):
+            a = mega[f"{tag}_{part}"]
+            operands.append(a)
+            in_specs.append(blk(tuple(a.shape[1:])))
+
+    operands += [
+        x.astype(f32),
+        state["att_shift"].astype(f32),
+        state["ffn_shift"].astype(f32),
+        state["wkv"].astype(f32),
+        mask.astype(f32)[:, None],
+    ]
+    in_specs += [
+        full((B, C)),
+        blk((B, C)),
+        blk((B, C)),
+        blk((B, H, hs, hs)),
+        full((B, 1)),
+    ]
+
+    kernel = functools.partial(
+        _layer_scan_kernel,
+        B=B, C=C, H=H, hs=hs, hidden=hidden, L=L, rescale=rescale,
+        rkv_split=s["rkv_split"], wo_split=s["wo_split"],
+        fk_split=s["fk_split"], fv_split=s["fv_split"],
+        lora_dims=s["lora_dims"],
+        eps_ln=eps_ln, eps_gn=eps_gn, eps_l2=eps_l2,
+    )
+
+    x_out, ash, fsh, wkv = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=(
+            full((B, C)),
+            blk((B, C)),
+            blk((B, C)),
+            blk((B, H, hs, hs)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C), f32),
+            jax.ShapeDtypeStruct((L, B, C), f32),
+            jax.ShapeDtypeStruct((L, B, C), f32),
+            jax.ShapeDtypeStruct((L, B, H, hs, hs), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, C), f32),  # residual carry
+            pltpu.VMEM((B, C), f32),  # value-residual carry
+        ],
+        interpret=config.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * L * B * C * (3 * C + hidden * 2 + C + H * hs),
+            bytes_accessed=int(
+                mega["rkv_codes"].size + mega["fk_codes"].size
+                + mega["fv_codes"].size + mega["wo_codes"].size
+                + 2 * L * (mega["down"].size // L)
+                + 8 * L * B * H * hs * hs
+            ),
+            transcendentals=4 * L * B * C,
+        ),
+    )(*operands)
+    new_state = {"att_shift": ash, "wkv": wkv, "ffn_shift": fsh}
+    return x_out, new_state

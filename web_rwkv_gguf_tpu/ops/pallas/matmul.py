@@ -70,10 +70,24 @@ def _dotf32(a, b):
     )
 
 
+def _lut_tree(idx, lut_ref):
+    """Map 4-bit codebook indices to f32 values via a binary select tree
+    (the NF4/SF4 16-entry LUT lives in VMEM; lane-dim gathers are not
+    available in Mosaic, so the lookup is 15 vector selects).
+    Ref: matmul_vec_nf4.wgsl:52-79 reads the same LUT per nibble."""
+    ls = [lut_ref[0, i] for i in range(16)]
+    bits = [((idx >> i) & 1) > 0 for i in range(4)]
+    lvl = [jnp.where(bits[0], ls[2 * i + 1], ls[2 * i]) for i in range(8)]
+    lvl = [jnp.where(bits[1], lvl[2 * i + 1], lvl[2 * i]) for i in range(4)]
+    lvl = [jnp.where(bits[2], lvl[2 * i + 1], lvl[2 * i]) for i in range(2)]
+    return jnp.where(bits[3], lvl[1], lvl[0])
+
+
 def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
-            has_offset, offset_sign):
+            has_offset, offset_sign, has_lut=False):
     refs = list(rest)
     off_ref = refs.pop(0) if has_offset else None
+    lut_ref = refs.pop(0) if has_lut else None
     eslab_ref = refs.pop(0)
     efull_ref = refs.pop(0) if has_offset else None
     out_ref = refs.pop(0)
@@ -97,18 +111,26 @@ def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
         # [TM, Gw] f32 @ [Gw, width] f32 → [TM, width] f32 (MXU)
         return _dotf32(sc_block, eslab_ref[: sc_block.shape[-1], :width])
 
-    if kind == "qk":
-        # split-halves: code byte j covers elements j and j+K/2
+    if kind in ("qk", "nf4"):
+        # split-plane nibbles: for "qk" code byte j covers elements j and
+        # j+K/2 (split-halves repack); for "nf4" byte j covers elements 2j
+        # (lo) and 2j+1 (hi) and the CALLER de-interleaves x into
+        # [evens | odds] so the same plane/group math applies, with the
+        # per-64 absmax tiled twice as the scale array
         half = k // 2
         for s in range(0, half, slab):
             e = min(s + slab, half)
             ci = codes_ref[:, s:e].astype(jnp.int32)
             gs, ge = s // gsize, e // gsize
             ghs, ghe = (half + s) // gsize, (half + e) // gsize
-            lo = ((ci & 0x0F).astype(jnp.float32)
-                  * expand(scales_ref[:, gs:ge], e - s)).astype(jnp.bfloat16)
-            hi = ((ci >> 4).astype(jnp.float32)
-                  * expand(scales_ref[:, ghs:ghe], e - s)).astype(jnp.bfloat16)
+            if has_lut:
+                lo_q = _lut_tree(ci & 0x0F, lut_ref)
+                hi_q = _lut_tree(ci >> 4, lut_ref)
+            else:
+                lo_q = (ci & 0x0F).astype(jnp.float32)
+                hi_q = (ci >> 4).astype(jnp.float32)
+            lo = (lo_q * expand(scales_ref[:, gs:ge], e - s)).astype(jnp.bfloat16)
+            hi = (hi_q * expand(scales_ref[:, ghs:ghe], e - s)).astype(jnp.bfloat16)
             part = dot(x[:, s:e], lo) + dot(x[:, half + s : half + e], hi)
             acc = part if acc is None else acc + part
     else:
@@ -159,19 +181,21 @@ def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
 
 
 def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
-                 offset_sign, signed_codes, kdim, gsize):
+                 offset_sign, signed_codes, kdim, gsize, has_lut=False):
     refs = list(rest)
     mnt_ref = refs.pop(0) if has_offset else None
+    lut_ref = refs.pop(0) if has_lut else None
     x_ref = refs.pop(0)  # [N, K] bf16 (raw input row(s))
     out_ref = refs.pop(0)
 
     w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [BM/4, kdim]
     q = bm // 4
+    split = kind in ("qk", "nf4")
 
     # per-group masked-x operands and group sums, built IN-kernel: as XLA
     # producer ops these cost ~1 us of launch overhead per call — a third
     # of a small gemv's whole budget at decode — vs trivial VPU work here
-    groups = gh if kind == "qk" else g
+    groups = gh if split else g
     gmask = (
         jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 1) // gsize
         == jax.lax.broadcasted_iota(jnp.int32, (groups, kdim), 0)
@@ -182,7 +206,7 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
         x3 = jnp.expand_dims(xpart, 1)  # [N, 1, kdim]
         return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * groups, kdim)
 
-    if kind == "qk":
+    if split:
         xlo = group_expand(x[:, :kdim])
         xhi = group_expand(x[:, kdim:])
         if has_offset:
@@ -200,9 +224,15 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
         )
 
     for b in range(4):
-        if kind == "qk":
-            lo = ((w >> (8 * b)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
-            hi = ((w >> (8 * b + 4)) & 0xF).astype(jnp.float32).astype(jnp.bfloat16)
+        if split:
+            lo_q = (w >> (8 * b)) & 0xF
+            hi_q = (w >> (8 * b + 4)) & 0xF
+            if has_lut:
+                lo = _lut_tree(lo_q, lut_ref).astype(jnp.bfloat16)
+                hi = _lut_tree(hi_q, lut_ref).astype(jnp.bfloat16)
+            else:
+                lo = lo_q.astype(jnp.float32).astype(jnp.bfloat16)
+                hi = hi_q.astype(jnp.float32).astype(jnp.bfloat16)
             plo = dot(xlo, lo)  # [N*Gh, BM/4]
             phi = dot(xhi, hi)
         else:
@@ -215,7 +245,7 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
         sblk = st_ref[:, b * q : (b + 1) * q]  # [G, BM/4]
         mnblk = mnt_ref[:, b * q : (b + 1) * q] if has_offset else None
         for nn in range(n):
-            if kind == "qk":
+            if split:
                 p = jnp.concatenate(
                     [plo[nn * gh : (nn + 1) * gh], phi[nn * gh : (nn + 1) * gh]],
                     axis=0,
@@ -224,7 +254,7 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
                 p = p_all[nn * g : (nn + 1) * g]
             y = jnp.sum(p * sblk, axis=0, keepdims=True)  # [1, BM/4]
             if has_offset:
-                if kind == "qk":
+                if split:
                     sx = jnp.concatenate(
                         [slo[nn * gh : (nn + 1) * gh], shi[nn * gh : (nn + 1) * gh]],
                         axis=0,
@@ -233,6 +263,156 @@ def _gemv_kernel(codes_ref, st_ref, *rest, kind, n, g, gh, bm, has_offset,
                     sx = sxm[nn * g : (nn + 1) * g]
                 y = y + offset_sign * jnp.sum(mnblk * sx, axis=0, keepdims=True)
             out_ref[nn * 4 + b : nn * 4 + b + 1, :] = y
+
+
+def build_gemv_operands(kind, scales, mins, m, k, kdim, signed) -> dict:
+    """Precomputed scale/offset operands for the v2 packed-pair gemv
+    kernel (``_gemv_kernel2``), host-side at load time.
+
+    Layout: within each M tile the columns are [even rows | odd rows]
+    (plane A of the u8→i32→bf16 bitcast chain covers a tile's even rows
+    in order, plane B its odd rows). ``st`` rows: per-group scales —
+    for byte kinds the hi-nibble's 16x scale is stacked below ([s;16s]).
+    ``mnt`` rows: the per-group offset fold — code offsets plus the
+    bf16-pair's +16 bias (see _gemv_kernel2 docstring):
+      qk        mn + 16·s      qk_b      mn + 272·s
+      qk_nomin  (272+128·signed)·s       int8      272·s − mn
+    The kernel always SUBTRACTS Σ mnt·(per-group x sums).
+    """
+    bm = _gemv_block_m(m, kdim)
+    if bm is None:
+        return {}
+    g_rows = scales.shape[-1]
+
+    def tile_halves(a):  # [..., m, g] -> [..., g, m] per-tile [evens|odds]
+        a = np.asarray(a, np.float32)
+        a = np.swapaxes(a, -1, -2)  # [..., g, m]
+        sh = a.shape
+        a = a.reshape(sh[:-1] + (m // bm, bm))
+        a = np.concatenate([a[..., 0::2], a[..., 1::2]], axis=-1)
+        return np.ascontiguousarray(a.reshape(sh))
+
+    scales = np.asarray(scales, np.float32)
+    if kind == "qk":
+        st = tile_halves(scales)
+        off = tile_halves(np.asarray(mins, np.float32) + 16.0 * scales)
+    else:
+        sT = tile_halves(scales)
+        st = np.concatenate([sT, 16.0 * sT], axis=-2)
+        if kind == "int8":
+            off = tile_halves(272.0 * scales - np.asarray(mins, np.float32))
+        elif kind == "qk_b":
+            off = tile_halves(np.asarray(mins, np.float32) + 272.0 * scales)
+        else:  # qk_nomin
+            off = tile_halves((272.0 + (128.0 if signed else 0.0)) * scales)
+    return {"st": jnp.asarray(st), "mnt": jnp.asarray(off)}
+
+
+def _gemv_kernel2(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
+                  g, kdim, gsize, bm, signed):
+    """v2 bitcast gemv: nibble planes become PACKED bf16 pairs by bit
+    surgery — ``0x4180 | (nib << 3)`` is exactly ``bf16(16+nib)`` — so
+    one masked shift-or per TWO bytes replaces the per-nibble
+    shift/mask/convert/convert chain (~2x less VPU unpack, the measured
+    bottleneck of big gemvs like the vocab head). The +16 bias and all
+    code offsets are folded into the group-sum correction operand
+    (build_gemv_operands); signed codes are biased to unsigned in-kernel
+    with one XOR. Output rows interleave (even-rows, odd-rows) per input
+    row; the caller untangles with one reshape/transpose."""
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [bm/4, kdim]
+    if signed:
+        w = w ^ jnp.int32(-2139062144)  # 0x80808080: +128 per byte
+    c0 = jnp.int32(0x41804180)
+    mk = jnp.int32(0x000F000F)
+    pa_lo = pltpu.bitcast(c0 | ((w & mk) << 3), jnp.bfloat16)
+    pb_lo = pltpu.bitcast(c0 | (((w >> 8) & mk) << 3), jnp.bfloat16)
+    pa_hi = pltpu.bitcast(c0 | (((w >> 4) & mk) << 3), jnp.bfloat16)
+    pb_hi = pltpu.bitcast(c0 | (((w >> 12) & mk) << 3), jnp.bfloat16)
+
+    gh = g // 2 if split else g
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 0)
+    ).astype(jnp.bfloat16)
+    x = x_ref[:]
+
+    def group_expand(xpart):
+        x3 = jnp.expand_dims(xpart, 1)
+        return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * gh, kdim)
+
+    def dot(xs, part):
+        return jax.lax.dot_general(
+            xs, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if split:
+        xlo = group_expand(x[:, :kdim])
+        xhi = group_expand(x[:, kdim:])
+        sxl = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+        sxh = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+        qa = (dot(xlo, pa_lo), dot(xhi, pa_hi))  # [n*gh, bm/2] each
+        qb = (dot(xlo, pb_lo), dot(xhi, pb_hi))
+    else:
+        xm = group_expand(x)
+        sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+        qa = (dot(xm, pa_lo), dot(xm, pa_hi))
+        qb = (dot(xm, pb_lo), dot(xm, pb_hi))
+
+    h = bm // 2
+    for nn in range(n):
+        sl = slice(nn * gh, (nn + 1) * gh)
+        p_a = jnp.concatenate([qa[0][sl], qa[1][sl]], axis=0)  # [Gs, bm/2]
+        p_b = jnp.concatenate([qb[0][sl], qb[1][sl]], axis=0)
+        sx = (
+            jnp.concatenate([sxl[sl], sxh[sl]], axis=0) if split else sxm[sl]
+        )  # [g, 1]
+        corr_a = jnp.sum(off_ref[:, :h] * sx, axis=0, keepdims=True)
+        corr_b = jnp.sum(off_ref[:, h:] * sx, axis=0, keepdims=True)
+        out_ref[2 * nn : 2 * nn + 1, :] = (
+            jnp.sum(p_a * st_ref[:, :h], axis=0, keepdims=True) - corr_a
+        )
+        out_ref[2 * nn + 1 : 2 * nn + 2, :] = (
+            jnp.sum(p_b * st_ref[:, h:], axis=0, keepdims=True) - corr_b
+        )
+
+
+def _quant_gemv2(x, codes, st, mnt, *, split, signed, m, k, kdim,
+                 gsize) -> jax.Array:
+    n = x.shape[0]
+    g = k // gsize
+    bm = _gemv_block_m(m, kdim)
+    kernel = functools.partial(
+        _gemv_kernel2, split=split, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
+        signed=signed,
+    )
+    gs_rows = st.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs_rows, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * n, bm // 2), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * n, m // 2), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * k,
+            bytes_accessed=codes.size + st.size * 4 + n * k * 2 + n * m * 4,
+            transcendentals=0,
+        ),
+    )(codes, st, mnt, x.astype(jnp.bfloat16))
+    # out row 2nn+p, col t*(bm/2)+c ↔ logical y[nn, t*bm + 2c + p]
+    return (
+        out.reshape(n, 2, m // bm, bm // 2)
+        .transpose(0, 2, 3, 1)
+        .reshape(n, m)
+    )
 
 
 def _gemv_block_m(m: int, kdim: int | None = None) -> int | None:
@@ -258,7 +438,7 @@ def _gemv_block_m(m: int, kdim: int | None = None) -> int | None:
 
 
 def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
-                gsize, pre_st=None, pre_mnt=None) -> jax.Array:
+                gsize, pre_st=None, pre_mnt=None, lut=None) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
     bm = _gemv_block_m(m, kdim)
@@ -289,6 +469,11 @@ def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
         in_specs.append(
             pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
+    if lut is not None:
+        operands.append(lut.astype(jnp.float32).reshape(1, 16))
+        in_specs.append(
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
 
     # raw input row(s): the masked per-group expansions and group sums are
     # built IN-kernel (their XLA producer ops measured ~1 us/call — a third
@@ -303,6 +488,7 @@ def _quant_gemv(x, kind, codes, scales, offsets, offset_sign, m, k, kdim,
         _gemv_kernel, kind=kind, n=n, g=g, gh=gh, bm=bm,
         has_offset=has_offset, offset_sign=offset_sign,
         signed_codes=codes.dtype == jnp.int8, kdim=kdim, gsize=gsize,
+        has_lut=lut is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -488,7 +674,20 @@ def quant_matmul(
     x = x.astype(jnp.bfloat16)
 
     offset_sign = -1.0
-    if kind == "int8":
+    lut = None
+    if kind == "nf4":
+        # consecutive-pair nibbles (lo=even element, hi=odd): de-interleave
+        # x into [evens | odds] so the split-plane kernel path applies;
+        # per-64 absmax tiled twice serves as the lo/hi-plane scale array
+        # (group gsize becomes 32 in the de-interleaved index space)
+        x = jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=-1)
+        am = arrays["absmax"].astype(jnp.float32)
+        scales = jnp.concatenate([am, am], axis=-1)
+        offsets = None
+        codes = arrays["codes"]
+        lut = arrays["lut"]
+        kdim = k // 2
+    elif kind == "int8":
         # w = mn + (c/255)·(mx−mn): per-group scale/offset in f32, computed
         # by XLA outside the kernel (tiny [M, G] arrays, fused into the
         # surrounding program)
@@ -528,16 +727,30 @@ def quant_matmul(
         n <= 8
         and n * g <= 256
         and _gemv_block_m(m, kdim) is not None
-        and (kind != "qk" or g % 2 == 0)
+        and (kind not in ("qk", "nf4") or g % 2 == 0)
         and n * g * kdim * 2 <= (4 << 20)
     ):
         pre_st = arrays.get("st")
         pre_mnt = arrays.get("mnt")
-        if pre_st is not None and pre_st.shape != (g, m):
+        if kind != "nf4" and pre_st is not None and pre_mnt is not None:
+            # v2 packed-pair kernel with precomputed fold operands
+            split = kind == "qk"
+            gs_rows = g if split else 2 * g
+            if pre_st.shape == (gs_rows, m) and pre_mnt.shape == (g, m):
+                return _quant_gemv2(
+                    x, codes, pre_st, pre_mnt, split=split,
+                    signed=codes.dtype == jnp.int8, m=m, k=k, kdim=kdim,
+                    gsize=gsize,
+                )
+        if kind != "nf4":
+            # v1 fallback computes its (position-order) operands inline —
+            # stored operands are v2-layout and must not be reused
+            pre_st = pre_mnt = None
+        elif pre_st is not None and pre_st.shape != (g, m):
             pre_st = pre_mnt = None  # e.g. re-tiled after a shard slice
         return _quant_gemv(
             x, kind, codes, scales, offsets, offset_sign, m, k, kdim, gsize,
-            pre_st=pre_st, pre_mnt=pre_mnt,
+            pre_st=pre_st, pre_mnt=pre_mnt, lut=lut,
         )
 
     while m % block_m:
@@ -556,6 +769,11 @@ def quant_matmul(
             pl.BlockSpec((block_m, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(offsets)
+    if lut is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(lut.astype(jnp.float32).reshape(1, 16))
 
     # constant 0/1 expansion matrices (baked into the executable, resident
     # in VMEM across grid steps)
@@ -576,6 +794,7 @@ def quant_matmul(
     kernel = functools.partial(
         _kernel, kind=kind, gsize=gsize, k=k, slab=slab,
         has_offset=offsets is not None, offset_sign=offset_sign,
+        has_lut=lut is not None,
     )
     out = pl.pallas_call(
         kernel,

@@ -99,16 +99,16 @@ def _wkv7_transition(r, w, k, v, a, b, *, chunk=16):
 # --------------------------------------------------------------------------
 
 
-def _sp_prev_token(x, axis):
+def _sp_prev_token(x, boundary, axis):
     """x [B, T_loc, C] → previous-token tensor with the boundary activation
-    fetched from the left neighbor (device 0 receives zeros, matching a
-    zero shift state)."""
+    fetched from the left neighbor; device 0 receives ``boundary`` (the
+    carried cross-chunk shift state, so chunk chains compose)."""
     n = jax.lax.psum(1, axis)
     idx = jax.lax.axis_index(axis)
     last = x[:, -1, :]
     perm = [(i, (i + 1) % n) for i in range(n)]
     from_left = jax.lax.ppermute(last, axis, perm)
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    from_left = jnp.where(idx == 0, boundary, from_left)
     return jnp.concatenate([from_left[:, None, :], x[:, :-1, :]], axis=1)
 
 
@@ -179,7 +179,7 @@ def _layer_v5_sp(info, blk, lst, x, axis):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
-    xprev = _sp_prev_token(xx, axis)
+    xprev = _sp_prev_token(xx, lst["att_shift"], axis)
 
     def shift(mix):  # v5: non-reversed lerp
         return xprev + mix * (xx - xprev)
@@ -198,7 +198,7 @@ def _layer_v5_sp(info, blk, lst, x, axis):
     x = x + att["Wo"].matmul(y)
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
-    xprev2 = _sp_prev_token(xx2, axis)
+    xprev2 = _sp_prev_token(xx2, lst["ffn_shift"], axis)
     kx2 = xprev2 + ffn["mix_k"] * (xx2 - xprev2)
     rx2 = xprev2 + ffn["mix_r"] * (xx2 - xprev2)
     kf = B.squared_relu(ffn["Wk"].matmul(kx2))
@@ -213,16 +213,22 @@ def _layer_v6_sp(info, blk, lst, x, axis):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
-    xprev = _sp_prev_token(xx, axis)
+    xprev = _sp_prev_token(xx, lst["att_shift"], axis)
 
     sx = _sp_token_shift(xx, xprev, att["mix_x"])
+    # same input-side dtype casts as models.forward._layer_v6 (adapters
+    # are stored in the model compute dtype)
     z = jnp.tanh(
-        jnp.einsum("btc,fc->btf", sx, att["tm_w1"], preferred_element_type=jnp.float32)
+        jnp.einsum(
+            "btc,fc->btf", sx.astype(att["tm_w1"].dtype), att["tm_w1"],
+            preferred_element_type=jnp.float32,
+        )
     )
     r5 = att["tm_w1"].shape[0] // 5
     z = z.reshape(z.shape[0], z.shape[1], 5, r5)
     mix = jnp.einsum(
-        "btfr,fcr->btfc", z, att["tm_w2"], preferred_element_type=jnp.float32
+        "btfr,fcr->btfc", z.astype(att["tm_w2"].dtype), att["tm_w2"],
+        preferred_element_type=jnp.float32,
     ) + att["time_mix"][None, None]
 
     wx = _sp_token_shift(xx, xprev, mix[:, :, 0])
@@ -239,10 +245,14 @@ def _layer_v6_sp(info, blk, lst, x, axis):
     g = att["Wg"].matmul(gx)
 
     dz = jnp.tanh(
-        jnp.einsum("btc,dc->btd", wx, att["td_w1"], preferred_element_type=jnp.float32)
+        jnp.einsum(
+            "btc,dc->btd", wx.astype(att["td_w1"].dtype), att["td_w1"],
+            preferred_element_type=jnp.float32,
+        )
     )
     w_raw = jnp.einsum(
-        "btd,cd->btc", dz, att["td_w2"], preferred_element_type=jnp.float32
+        "btd,cd->btc", dz.astype(att["td_w2"].dtype), att["td_w2"],
+        preferred_element_type=jnp.float32,
     ) + att["time_decay"][None, None]
     w = _heads(B.stable_exp(w_raw), H)
 
@@ -252,7 +262,7 @@ def _layer_v6_sp(info, blk, lst, x, axis):
     x = x + att["Wo"].matmul(y)
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
-    xprev2 = _sp_prev_token(xx2, axis)
+    xprev2 = _sp_prev_token(xx2, lst["ffn_shift"], axis)
     kx2 = _sp_token_shift(xx2, xprev2, ffn["mix_k"])
     rx2 = _sp_token_shift(xx2, xprev2, ffn["mix_r"])
     kf = B.squared_relu(ffn["Wk"].matmul(kx2))
@@ -270,7 +280,7 @@ def _layer_v7_sp(info, blk, lst, x, v0, layer_idx, axis):
     H = info.num_head
     att, ffn = blk["att"], blk["ffn"]
     xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
-    xprev = _sp_prev_token(xx, axis)
+    xprev = _sp_prev_token(xx, lst["att_shift"], axis)
 
     rx = _sp_token_shift(xx, xprev, att["x_r"])
     wx = _sp_token_shift(xx, xprev, att["x_w"])
@@ -289,7 +299,7 @@ def _layer_v7_sp(info, blk, lst, x, v0, layer_idx, axis):
     x = x + att["Wo"].matmul(y)
 
     xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
-    xprev2 = _sp_prev_token(xx2, axis)
+    xprev2 = _sp_prev_token(xx2, lst["ffn_shift"], axis)
     kx2 = _sp_token_shift(xx2, xprev2, ffn["x_k"])
     kf = B.squared_relu(ffn["Wk"].matmul(kx2))
     x = x + ffn["Wv"].matmul(kf)

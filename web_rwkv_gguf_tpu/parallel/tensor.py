@@ -60,7 +60,7 @@ _ATT_SLICES = {
     ModelVersion.V7: (("k_k", 1, "C"), ("k_a", 1, "C"), ("w0", 1, "C"),
                       ("a0", 1, "C"), ("v0", 1, "C"), ("r_k", 2, "H"),
                       ("w2", 2, "C"), ("a2", 2, "C"), ("g2", 2, "C"),
-                      ("v2", 2, "C")),
+                      ("v2", 2, "C"), ("lora_up", 2, "C")),
 }
 
 
@@ -109,37 +109,89 @@ class _ColGatherOut:
         return jax.lax.all_gather(self.mat.matmul(x), self.axis, axis=-1, tiled=True)
 
 
+def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
+    """Per-shard gemv scale operands for an M-sharded Matrix.
+
+    The precomputed ``st``/``mnt`` are position-ordered per the kernel's
+    M-tiling, which does not survive row slicing — instead each shard's
+    operands are rebuilt from its OWN row range (host-side, at placement
+    time) and concatenated along M so a ``model``-axis slice hands every
+    device exactly the local-position-ordered arrays. Without this, TP
+    decode recomputes the transpose inside the loop — measured at ~2/3 of
+    head-gemv time (ops/pallas/matmul.py:280-289)."""
+    import numpy as np
+
+    from ..models.matrix import recompute_gemv_arrays
+
+    import numpy as np
+
+    from ..models.matrix import recompute_gemv_arrays
+
+    a = m.arrays
+    mdim, k = m.dims()
+    m_loc = mdim // n
+    keys = [key for key in ("scales", "mins", "mn", "mx", "absmax") if key in a]
+    signed = np.asarray(a["codes"]).dtype == np.int8 if "codes" in a else False
+    pieces = []
+    for s in range(n):
+        loc = {key: np.asarray(a[key])[..., s * m_loc : (s + 1) * m_loc, :]
+               for key in keys}
+        pieces.append(recompute_gemv_arrays(m.kind, loc, m_loc, k, signed=signed))
+    if not pieces or not pieces[0]:
+        return {}
+    return {
+        key: jnp.concatenate([jnp.asarray(p[key]) for p in pieces], axis=-1)
+        for key in pieces[0]
+    }
+
+
+def _col_shardable(m: Matrix, n: int) -> bool:
+    return "lut" not in m.arrays and all(
+        a.shape[-2] % n == 0
+        for k, a in m.arrays.items() if k not in ("st", "mnt")
+    )
+
+
 def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
-    """Place a (stacked) Matrix column-sharded on ``model``; derived gemv
-    scale operands are dropped (their position layout does not survive
-    slicing)."""
+    """Place a (stacked) Matrix column-sharded on ``model``; the derived
+    gemv scale operands are rebuilt per shard (see
+    :func:`_reshard_gemv_arrays`) and sharded along their M axis. A
+    matrix whose M does not divide the axis is replicated whole (its
+    original operands remain valid)."""
     n = mesh.shape["model"]
+    if not _col_shardable(m, n):
+        return Matrix(
+            m.kind, m.shape,
+            {k2: jax.device_put(a2, NamedSharding(mesh, P()))
+             for k2, a2 in m.arrays.items()},
+        )
     arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
+    arrays.update(_reshard_gemv_arrays(m, n))
     out = {}
     for k, a in arrays.items():
-        if k == "lut":
-            spec = P()
+        if k in ("st", "mnt"):
+            spec = P(*([None] * (a.ndim - 1) + ["model"]))
         else:
             spec = P(*([None] * (a.ndim - 2) + ["model", None]))
-            if a.shape[-2] % n:
-                # M not divisible: replicate the whole matrix
-                return Matrix(
-                    m.kind, m.shape,
-                    {k2: jax.device_put(a2, NamedSharding(mesh, P()))
-                     for k2, a2 in arrays.items()},
-                )
         out[k] = jax.device_put(a, NamedSharding(mesh, spec))
     return Matrix(m.kind, m.shape, out)
 
 
 def _spec_for_mat(m: Matrix, mesh: Mesh) -> object:
-    """Pytree-prefix PartitionSpec matching :func:`_shard_mat_col`."""
+    """Spec pytree matching :func:`_shard_mat_col` — a Matrix-shaped tree
+    of PartitionSpecs so the gemv scale operands (sharded on their LAST
+    axis) get per-leaf specs while codes/scales shard on M. Call with the
+    PLACED matrix (post-``shard_params_tp``)."""
     n = mesh.shape["model"]
-    arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
-    if "lut" in arrays or any(a.shape[-2] % n for a in arrays.values()):
+    if not _col_shardable(m, n):
         return P()
-    a = next(iter(arrays.values()))
-    return P(*([None] * (a.ndim - 2) + ["model", None]))
+    specs = {}
+    for k, a in m.arrays.items():
+        if k in ("st", "mnt"):
+            specs[k] = P(*([None] * (a.ndim - 1) + ["model"]))
+        else:
+            specs[k] = P(*([None] * (a.ndim - 2) + ["model", None]))
+    return Matrix(m.kind, m.shape, specs)
 
 
 def shard_params_tp(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
@@ -249,7 +301,8 @@ def _localize(params: dict, info: ModelInfo, axis: str) -> dict:
 
 
 def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
-                    full_output: bool = False):
+                    full_output: bool = False, hooks: dict | None = None,
+                    input_embeds: bool = False):
     """Build a jitted tensor+data-parallel ``(params, state, tokens,
     lengths) -> (out, new_state)`` forward under ``shard_map``.
 
@@ -260,6 +313,13 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
     (default) or, with ``full_output``, the full residual stream
     ``[B, T, C]`` (apply ``logits_head`` yourself) — both replicated over
     ``model``.
+
+    ``hooks`` are resolved at trace time like the single-device path;
+    inside the mapped function taps observe PER-DEVICE tensors — the
+    batch axis is the local ``data`` shard and output-side channel dims
+    (time-mix output, FFN hidden, logits) are the local ``model`` shard.
+    ``input_embeds=True`` builds the Token::Embed variant (``tokens`` is
+    a ``[B, T, C]`` float embedding tensor instead of ids).
     """
     if info.version not in _ATT_SLICES:
         raise NotImplementedError(
@@ -285,24 +345,32 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
 
     def body(params, state, tokens, lengths):
         local = _localize(params, info, "model")
-        x, new_state = forward_chunk(
-            info_local, local, state, tokens, lengths, rescale=rescale
-        )
+        kw = dict(rescale=rescale, hooks=hooks)
+        if input_embeds:
+            x, new_state = forward_chunk(
+                info_local, local, state, None, lengths,
+                input_embeds=tokens, **kw,
+            )
+        else:
+            x, new_state = forward_chunk(
+                info_local, local, state, tokens, lengths, **kw
+            )
         if full_output:
             return x, new_state
         idx = jnp.clip(lengths - 1, 0, tokens.shape[1] - 1)
         rows = x[jnp.arange(tokens.shape[0]), idx]
-        lg = logits_head(local, rows)
+        lg = logits_head(local, rows, hooks=hooks)
         if head_sharded:
             lg = jax.lax.all_gather(lg, "model", axis=-1, tiled=True)
         return lg, new_state
 
+    tok_spec = P("data", None, None) if input_embeds else P("data", None)
     out_spec = P("data", None, None) if full_output else P("data", None)
     return jax.jit(
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(specs, state_specs, P("data", None), P("data")),
+            in_specs=(specs, state_specs, tok_spec, P("data")),
             out_specs=(out_spec, state_specs),
             check_vma=False,
         )

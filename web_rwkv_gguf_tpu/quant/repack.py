@@ -117,3 +117,62 @@ def repack_q4_0(raw, m: int, k: int):
     hi = (qs >> 4).astype(np.int8) - 8
     codes = np.stack([lo, hi], axis=-1).reshape(n, 32)
     return codes.reshape(m, k), d.reshape(m, k // 32)
+
+
+def repack_q3_k(raw, m: int, k: int):
+    """→ (codes i8 [M, K] values -4..3, scales f32 [M, K/16]).
+
+    Effective per-16-group scale d·(6bit−32) precomputed in f32, values
+    reconstructed exactly as the scalar dequantizer (ggml.py:232-265);
+    the flat sub-group order 8h+2s+l//16 equals the flat element-group
+    order, so the [M, K/16] scale layout is a plain reshape.
+    Ref: src/runtime/gguf.rs:299-366 (CPU dequant the reference routes
+    Q3_K through; there is no native reference shader for it)."""
+    b = _blocks(raw, 110)
+    n = b.shape[0]
+    assert n * 256 == m * k and k % 16 == 0
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96].reshape(n, 2, 32)
+    scales_raw = b[:, 96:108]
+    d = _f16(b[:, 108:110])
+
+    aux = scales_raw.copy().view("<u4")
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = aux[:, 2].copy()
+    a0 = (aux[:, 0] & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    a1 = (aux[:, 1] & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    a2 = ((aux[:, 0] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    a3 = ((aux[:, 1] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    packed = np.stack([a0, a1, a2, a3], axis=1).copy().view(np.uint8).view(np.int8)
+    scales6 = packed.reshape(n, 16).astype(np.float32) - 32.0
+
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    lo = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int16)
+    bitidx = (np.arange(2)[:, None] * 4 + np.arange(4)[None, :]).astype(np.uint8)
+    hbit = (hmask[:, None, None, :] >> bitidx[None, :, :, None]) & 1
+    codes = (lo + np.where(hbit != 0, 0, -4)).astype(np.int8).reshape(n, 256)
+    scales = (d[:, None] * scales6).reshape(m, k // 16)
+    return codes.reshape(m, k), scales
+
+
+def repack_q2_k(raw, m: int, k: int):
+    """→ (codes u8 [M, K] values 0..3, scales f32 [M, K/16],
+    mins f32 [M, K/16]): v = scale·q − min per 16-element group
+    (ggml.py:268-285). Ref: src/runtime/gguf.rs:369-423."""
+    b = _blocks(raw, 84)
+    n = b.shape[0]
+    assert n * 256 == m * k and k % 16 == 0
+    sc = b[:, 0:16]
+    qs = b[:, 16:80].reshape(n, 2, 32)
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    codes = (
+        ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3)
+        .astype(np.uint8)
+        .reshape(n, 256)
+    )
+    scales = (d[:, None] * (sc & 0x0F).astype(np.float32)).reshape(m, k // 16)
+    mins = (dmin[:, None] * (sc >> 4).astype(np.float32)).reshape(m, k // 16)
+    return codes.reshape(m, k), scales, mins

@@ -77,6 +77,11 @@ class Engine:
         unroll: bool | None = None,
         hooks: dict | None = None,
         tp_mode: str = "gspmd",
+        prefill_dense: bool = False,
+        prefill_dense_min_t: int = 64,
+        seq_parallel: bool = False,
+        seq_parallel_min_t: int = 64,
+        pipeline_microbatches: int | None = None,
     ):
         if tp_mode not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown tp_mode {tp_mode!r}")
@@ -88,13 +93,23 @@ class Engine:
         if unroll is None:
             unroll = mesh is None
         if unroll and mesh is None and not isinstance(params.get("blocks"), list):
-            from ..models.loader import unroll_params
+            from ..models.loader import prepare_decode
 
-            params = unroll_params(params)
+            params = prepare_decode(params, info, batch_hint=num_batch)
         self.params = params
         self.num_batch = num_batch
         self.token_chunk_size = token_chunk_size
         self.mesh = mesh
+        # prefill against cached dense weights (models.loader.
+        # densify_matrices): prefill is MXU-bound, so the dense copies
+        # remove per-chunk dequant work; decode chunks (T below the
+        # threshold) keep the DMA-light quantized arrays
+        self._params_prefill = None
+        self._prefill_min_t = prefill_dense_min_t
+        if prefill_dense and mesh is None:
+            from ..models.loader import densify_matrices
+
+            self._params_prefill = densify_matrices(params)
         self.state = init_state(info, num_batch)
         if mesh is not None:
             from ..parallel import shard_state
@@ -135,33 +150,76 @@ class Engine:
             B, T = tokens.shape
             idx = jnp.clip(lengths - 1, 0, T - 1)
             rows = x[jnp.arange(B), idx]
-            return logits_head(params, rows), state
+            return logits_head(params, rows, hooks=hooks), state
 
         self._forward_last = jax.jit(_fwd_last, donate_argnums=(1,))
-        self._head = jax.jit(logits_head)
+        self._head = jax.jit(functools.partial(logits_head, hooks=hooks))
+
+        # sequence-parallel prefill (parallel/sequence.py): long
+        # full-length chunks shard their TIME axis over the model axis —
+        # devices exchange only O(H*K^2) per-layer affine state maps.
+        # Routed automatically in infer() when a chunk qualifies (every
+        # lane full-length, T divisible by axis*16, no hooks/embeds).
+        self._spf = None
+        self._sp_min_t = seq_parallel_min_t
+        if seq_parallel:
+            if mesh is None:
+                raise ValueError("seq_parallel requires a mesh")
+            if hooks:
+                raise NotImplementedError(
+                    "hooks are not supported on the seq-parallel prefill path"
+                )
+            from ..parallel.sequence import make_seq_parallel_prefill
+
+            self._spf = make_seq_parallel_prefill(info, mesh, axis="model")
+            self._sp_axis = mesh.shape["model"]
+
+        # pipeline parallelism (parallel/pipeline.py): the layer stack
+        # shards over the model axis; engine lanes are grouped into
+        # microbatches (lane m*B_mb + b = microbatch m, slot b) that flow
+        # through the GPipe ppermute schedule. The engine-facing state
+        # layout stays [L, num_batch, ...]; conversion is a pure reshape.
+        self._ppf = None
+        if pipeline_microbatches:
+            if mesh is None:
+                raise ValueError("pipeline_microbatches requires a mesh")
+            if hooks:
+                raise NotImplementedError(
+                    "hooks are not supported on the pipeline path"
+                )
+            if num_batch % pipeline_microbatches:
+                raise ValueError("num_batch must divide by microbatches")
+            from ..parallel.pipeline import make_pipeline_forward
+
+            self._ppf = make_pipeline_forward(
+                info, mesh, axis="model",
+                num_microbatch=pipeline_microbatches,
+            )
+            self._pp_m = pipeline_microbatches
 
         # explicit shard_map tensor parallelism (parallel/tensor.py):
         # per-device local shards keep the Pallas kernels usable on real
         # multi-chip TPU; collectives are explicit ICI all_gathers. The
         # GSPMD default relies on XLA's partitioner instead.
         if mesh is not None and tp_mode == "shard_map":
-            if hooks:
-                raise NotImplementedError("hooks are not supported under shard_map TP")
             from ..parallel.tensor import make_tp_forward, shard_params_tp
 
             self.params = params = shard_params_tp(params, mesh, info)
-            self._forward_last = make_tp_forward(info, mesh, params, rescale=rescale)
-            self._forward = make_tp_forward(
-                info, mesh, params, rescale=rescale, full_output=True
+            self._forward_last = make_tp_forward(
+                info, mesh, params, rescale=rescale, hooks=hooks
             )
-
-            def _no_embeds(*a, **kw):
-                raise NotImplementedError(
-                    "embedding-vector tokens are not supported under "
-                    "shard_map TP yet"
-                )
-
-            self._forward_embeds = _no_embeds
+            self._forward = make_tp_forward(
+                info, mesh, params, rescale=rescale, full_output=True,
+                hooks=hooks,
+            )
+            fwd_emb = make_tp_forward(
+                info, mesh, params, rescale=rescale, full_output=True,
+                hooks=hooks, input_embeds=True,
+            )
+            self._forward_embeds = (
+                lambda params, state, embeds, lengths:
+                fwd_emb(params, state, embeds, lengths)
+            )
 
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
 
@@ -213,16 +271,33 @@ class Engine:
             for t in batch.tokens[: p.len]
         )
         lengths = jnp.asarray(lens, jnp.int32)
+        fw_params = (
+            self._params_prefill
+            if self._params_prefill is not None and T >= self._prefill_min_t
+            else self.params
+        )
 
-        all_last = not has_embeds and all(
-            p.option in (None, RnnOption.LAST) for p in plan
+        # sequence-parallel routing: full-length uniform chunks of a long
+        # prompt shard T across devices instead of replicating the whole
+        # chunk per device
+        sp_ok = (
+            self._spf is not None
+            and not has_embeds
+            and T >= self._sp_min_t
+            and T % (self._sp_axis * 16) == 0
+            and all(p.len == T for p in plan)
+        )
+
+        all_last = (
+            not sp_ok and self._ppf is None and not has_embeds
+            and all(p.option in (None, RnnOption.LAST) for p in plan)
         )
         if all_last:
             tokens = np.zeros((self.num_batch, T), np.int32)
             for b, (batch, p) in enumerate(zip(input.batches, plan)):
                 tokens[b, : p.len] = batch.tokens[: p.len]
             logits, self.state = self._forward_last(
-                self.params, self.state, jnp.asarray(tokens), lengths
+                fw_params, self.state, jnp.asarray(tokens), lengths
             )
             input.step(plan)
             host_logits = None
@@ -250,15 +325,37 @@ class Engine:
                     else:
                         embeds[b, t] = np.asarray(tok, np.float32)
             x, self.state = self._forward_embeds(
-                self.params, self.state, jnp.asarray(embeds), lengths
+                fw_params, self.state, jnp.asarray(embeds), lengths
             )
         else:
             tokens = np.zeros((self.num_batch, T), np.int32)
             for b, (batch, p) in enumerate(zip(input.batches, plan)):
                 tokens[b, : p.len] = batch.tokens[: p.len]
-            x, self.state = self._forward(
-                self.params, self.state, jnp.asarray(tokens), lengths
-            )
+            if sp_ok:
+                x, self.state = self._spf(
+                    fw_params, self.state, jnp.asarray(tokens)
+                )
+            elif self._ppf is not None:
+                M = self._pp_m
+                Bm = self.num_batch // M
+                st_p = jax.tree.map(
+                    lambda a: a.reshape(a.shape[0], M, Bm, *a.shape[2:]),
+                    self.state,
+                )
+                x_p, st_p = self._ppf(
+                    fw_params, st_p,
+                    jnp.asarray(tokens).reshape(M, Bm, T),
+                    lengths.reshape(M, Bm),
+                )
+                self.state = jax.tree.map(
+                    lambda a: a.reshape(a.shape[0], M * Bm, *a.shape[3:]),
+                    st_p,
+                )
+                x = x_p.reshape(M * Bm, T, x_p.shape[-1])
+            else:
+                x, self.state = self._forward(
+                    fw_params, self.state, jnp.asarray(tokens), lengths
+                )
 
         # gather logit-producing rows (dense-layout redirect)
         rows_b, rows_t, counts = [], [], []

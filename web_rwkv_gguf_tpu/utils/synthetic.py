@@ -241,15 +241,18 @@ def synthetic_v7_params(
 
     def mat(*shape, scale=0.05):
         w = (rng.normal(size=shape) * scale).astype(np.float32)
-        if quant == "q4k":
-            from ..quant.ggml import quantize_q4_k
-            from ..quant.ggml import GgmlDType
+        if quant in ("q4k", "q8_0"):
+            from ..quant.ggml import GgmlDType, quantize_q4_k, quantize_q8_0
 
+            qfn, qdt = (
+                (quantize_q4_k, GgmlDType.Q4_K) if quant == "q4k"
+                else (quantize_q8_0, GgmlDType.Q8_0)
+            )
             per = []
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
             for wi in w2:
-                raw = np.frombuffer(quantize_q4_k(wi.reshape(-1)), np.uint8)
-                per.append(Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, wi.shape))
+                raw = np.frombuffer(qfn(wi.reshape(-1)), np.uint8)
+                per.append(Matrix.from_gguf_blocks(qdt, raw, wi.shape))
             if len(shape) == 2:
                 return per[0]
             arrays = {k: jnp.stack([m.arrays[k] for m in per]) for k in per[0].arrays}
@@ -290,4 +293,15 @@ def synthetic_v7_params(
             },
         },
     }
+    # decode fast-path stacks, mirroring models.loader.load_model
+    att = params["blocks"]["att"]
+    att["x_stack"] = jnp.stack([att[f"x_{s}"] for s in "rwkvag"], axis=1)
+    for k in ("w1", "w2", "a1", "a2", "g1", "g2", "v1", "v2"):
+        att[k] = att[k].astype(dtype)
+    att["lora_down"] = jnp.concatenate(
+        [att["w1"], att["a1"], att["g1"], att["v1"]], axis=1
+    )
+    att["lora_up"] = jnp.concatenate(
+        [att["w2"], att["a2"], att["g2"], att["v2"]], axis=2
+    )
     return info, params
