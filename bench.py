@@ -48,7 +48,7 @@ def _bench_decode(info, params, B=1, steps=64, reps=8, windows=3):
     token = jnp.zeros((B, 1), jnp.int32)
     key = jax.random.key(0)
     t0 = time.perf_counter()
-    toks, logits, state, key = gen(params, state, token, key)
+    toks, logits, state, key, _ = gen(params, state, token, key)
     _ = np.asarray(toks)
     log(f"  compile+first segment: {time.perf_counter()-t0:.2f}s")
 
@@ -56,7 +56,7 @@ def _bench_decode(info, params, B=1, steps=64, reps=8, windows=3):
         nonlocal toks, logits, state, key
         t0 = time.perf_counter()
         for _ in range(n):
-            toks, logits, state, key = gen(params, state, toks[:, -1:], key)
+            toks, logits, state, key, _ = gen(params, state, toks[:, -1:], key)
         _ = np.asarray(toks)  # real sync: see docstring
         return time.perf_counter() - t0
 

@@ -271,11 +271,11 @@ def test_fused_generator_stochastic_sampling():
     state = init_state(info, 1)
     tok = jnp.zeros((1, 1), jnp.int32)
     k0 = jax.random.key(0)
-    toks_a, logits, _, k1 = gen(params, state, tok, k0)
+    toks_a, logits, _, k1, _ = gen(params, state, tok, k0)
     assert toks_a.shape == (1, 8) and logits.shape == (1, 64)
     assert ((toks_a >= 0) & (toks_a < 64)).all()
     assert not jax.numpy.array_equal(jax.random.key_data(k0), jax.random.key_data(k1))
-    toks_b, _, _, _ = gen(params, init_state(info, 1), tok, jax.random.key(7))
+    toks_b, _, _, _, _ = gen(params, init_state(info, 1), tok, jax.random.key(7))
     assert not (toks_a == toks_b).all()
 
 
@@ -310,3 +310,82 @@ def test_engine_prefill_dense_matches():
     np.testing.assert_allclose(
         l_d, l_q, rtol=3e-2, atol=3e-2 * max(1.0, np.abs(l_q).max())
     )
+
+
+def test_on_device_nucleus_sampler():
+    """make_sampler(top_p): every draw lies inside the true nucleus set
+    (preceding cumulative mass <= top_p, inclusive of the crossing
+    token) and the empirical frequencies track the renormalized
+    within-nucleus distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models.generate import make_sampler
+
+    # crafted distribution: probs ~ [0.4, 0.3, 0.15, ...tail]; top_p=0.6
+    # keeps {0, 1, 2} (prev mass 0, 0.4, 0.7>0.6? no: prev of idx2 is
+    # 0.7 -> excluded; crossing token idx1 kept since its prev 0.4<=0.6)
+    p = np.asarray([0.4, 0.3, 0.15, 0.05, 0.04, 0.03, 0.02, 0.01])
+    logits = jnp.asarray(np.log(p))[None, :]
+    sample = make_sampler(temperature=1.0, top_p=0.6, top_p_candidates=8)
+    draws = jax.vmap(lambda k: sample(logits, k)[0])(
+        jax.random.split(jax.random.key(0), 4000)
+    )
+    draws = np.asarray(draws)
+    nucleus = {0, 1}  # prev mass: 0 -> 0.0, 1 -> 0.4, 2 -> 0.7 > 0.6
+    assert set(np.unique(draws)) <= nucleus
+    freq0 = (draws == 0).mean()
+    assert abs(freq0 - 0.4 / 0.7) < 0.05  # renormalized within nucleus
+
+
+def test_fused_generator_stop_token_freezes_lane():
+    """A lane that samples a stop id re-emits it, reports done, and its
+    recurrent state stays frozen at the stop step (bit-identical to a
+    run that halts there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models import init_state, unroll_params
+    from web_rwkv_gguf_tpu.models.generate import make_generator
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=32, head_size=8, n_vocab=64,
+        lora_w=8, lora_a=8, lora_g=8, lora_v=8,
+    )
+    params = unroll_params(params)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    key = jax.random.key(0)
+
+    free = make_generator(info, steps=8)
+    toks_free, _, _, _, done = free(params, init_state(info, 1), tok, key)
+    seq = [int(t) for t in np.asarray(toks_free)[0]]
+    assert not bool(np.asarray(done)[0])
+    stop = seq[3]  # greedy is deterministic: this WILL appear at step 3
+    first = seq.index(stop)  # may appear earlier if the model loops
+
+    gen = make_generator(info, steps=8, stop_ids=(stop,))
+    toks, _, st_stop, _, done = gen(params, init_state(info, 1), tok, key)
+    seq_s = [int(t) for t in np.asarray(toks)[0]]
+    assert bool(np.asarray(done)[0])
+    assert seq_s[: first + 1] == seq[: first + 1]
+    assert all(t == stop for t in seq_s[first:])
+
+    # state must equal a run truncated at the stop step
+    trunc = make_generator(info, steps=first + 1)
+    _, _, st_ref, _, _ = trunc(params, init_state(info, 1), tok, key)
+    for a, b in zip(jax.tree.leaves(st_stop), jax.tree.leaves(st_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_generate_stop_early_exit(model):
+    """Engine.generate with a stop token trims at the stop and exits the
+    segment loop early (max_tokens never reached)."""
+    info, params = model
+    eng = Engine(info, params, num_batch=1, token_chunk_size=32)
+    base = eng.generate([[1, 2, 3]], 12, segment=4)
+    eng2 = Engine(info, params, num_batch=1, token_chunk_size=32)
+    stop = base[0][2]
+    out = eng2.generate([[1, 2, 3]], 48, stop_tokens={stop}, segment=4)
+    first = base[0].index(stop)
+    assert out[0] == base[0][: first + 1]

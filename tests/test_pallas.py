@@ -493,42 +493,90 @@ def test_unrolled_grouped_rkv_forward_matches_stacked():
         )
 
 
-@pytest.mark.parametrize("quant", ["q4k", "q8_0"])
-def test_layer_scan7_matches_forward(quant):
+@pytest.mark.parametrize("quant,B,C", [
+    ("q4k", 1, 64), ("q8_0", 1, 64),  # group-expanded gemv (narrow batch)
+    ("q4k", 5, 64), ("q8_0", 5, 64),  # `wide` gemv (scales into codes)
+    # C=256: every k % 256 == 0 -> the NATIVE scale-factor operands
+    # (6-bit codes + super-scales, formed into st/off in-kernel) apply to
+    # every q4k matrix; at C=64 only ffn.Wv (k=n_hidden=256) is native
+    ("q4k", 1, 256), ("q4k", 5, 256),
+])
+def test_layer_scan7_matches_forward(quant, B, C):
     """Whole-stack decode kernel (one pallas_call, grid over layers) vs
     the composed forward_chunk path, over several carried decode steps —
-    both nibble-split (Q4_K) and signed-byte (Q8_0) code kinds."""
+    both nibble-split (Q4_K) and signed-byte (Q8_0) code kinds, both
+    in-kernel gemv strategies (batch 5 > _WIDE_BATCH exercises `wide`),
+    and both scale-operand forms (f32 products / native factors)."""
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state
     from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
     from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
     from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
 
     info, params = synthetic_v7_params(
-        n_layer=3, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        n_layer=3, n_emb=C, head_size=16, n_vocab=64, n_hidden=256,
         lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant=quant,
     )
     mega = prep_decode7(params, info)
     assert mega is not None
+    mega_f32 = None
+    if quant == "q4k" and C == 256:
+        assert mega.static["native_tags"] == (True, True, True, True)
+        # strip the native factors -> the f32 product-operand kernel; the
+        # native path must match it ~exactly (same math, FMA rounding)
+        def _strip(tree):
+            if isinstance(tree, Matrix):
+                return Matrix(tree.kind, tree.shape, {
+                    kk: v for kk, v in tree.arrays.items()
+                    if kk not in ("sc6", "mn6", "d8", "dm8",
+                                  "stq", "mnq", "sd", "sdm")
+                })
+            if isinstance(tree, dict):
+                return {kk: _strip(v) for kk, v in tree.items()}
+            return tree
+        pf = dict(params)
+        pf["blocks"] = _strip(params["blocks"])
+        mega_f32 = prep_decode7(pf, info)
+        assert mega_f32.static["native_tags"] == (False,) * 4
 
-    s_ref = init_state(info, 1)
-    s_pl = init_state(info, 1)
-    lens = jnp.asarray([1], jnp.int32)
+    s_ref = init_state(info, B)
+    s_pl = init_state(info, B)
+    s_f32 = init_state(info, B)
+    lens = jnp.ones((B,), jnp.int32)
+    mask = jnp.ones((B,), jnp.float32)
+    # the kernel contracts in a different order (and the wide path
+    # applies scales pre-dot in f32) vs the composed path's bf16 code
+    # contractions — a legitimate rounding gap that grows ~linearly with
+    # C (5e-3 at C=64, ~2e-2 at C=256); wiring/layout bugs would produce
+    # O(1) garbage. The NATIVE scale path is pinned tightly against the
+    # f32-operand kernel below (same math, FMA-fusion rounding only).
+    atol = 5e-3 if C == 64 else 3e-2
     for t in (3, 7, 11):
-        tok = jnp.asarray([[t]], jnp.int32)
+        tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 5 + t) % 64
         x_ref, s_ref = forward_chunk(info, params, s_ref, tok, lens)
         x = embed_tokens(params, tok)
         xo, s_pl = layer_scan7(
-            mega, s_pl, x[:, 0], jnp.asarray([1.0], jnp.float32), None,
-            LN_EPS, GN_EPS, L2_EPS,
+            mega, s_pl, x[:, 0], mask, None, LN_EPS, GN_EPS, L2_EPS,
         )
         np.testing.assert_allclose(
-            np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=3e-3
+            np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=atol
         )
         for k in s_ref:
             np.testing.assert_allclose(
                 np.asarray(s_pl[k]), np.asarray(s_ref[k]), rtol=3e-3,
-                atol=3e-3, err_msg=k,
+                atol=atol, err_msg=k,
             )
+        if mega_f32 is not None:
+            xo_f, s_f32 = layer_scan7(
+                mega_f32, s_f32, x[:, 0], mask, None, LN_EPS, GN_EPS, L2_EPS,
+            )
+            np.testing.assert_allclose(
+                np.asarray(xo), np.asarray(xo_f), rtol=1e-5, atol=1e-4
+            )
+            for k in s_f32:
+                np.testing.assert_allclose(
+                    np.asarray(s_pl[k]), np.asarray(s_f32[k]), rtol=1e-5,
+                    atol=1e-4, err_msg=k,
+                )
 
 
 def test_layer_scan7_mask_preserves_state():
@@ -553,3 +601,50 @@ def test_layer_scan7_mask_preserves_state():
         np.testing.assert_allclose(
             np.asarray(s_new[k]), np.asarray(state[k]), atol=1e-6, err_msg=k
         )
+
+
+def test_native_scale_gemv_bit_identical():
+    """Q4_K native scale factors (6-bit codes + f16 super-scales,
+    build_gemv_operands_native) must reproduce the f32 product-operand
+    gemv BIT-identically — both form d*sc in f32 — and carry 2.7x fewer
+    scale bytes. Also: k % 256 != 0 (row-straddling super-blocks) must
+    NOT produce native arrays."""
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import quant_matmul
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType, quantize_q4_k
+
+    rng = np.random.default_rng(7)
+    for m, k, n in ((512, 512, 1), (1024, 768, 3)):
+        w = (rng.normal(size=(m, k)) * 0.05).astype(np.float32)
+        raw = np.frombuffer(quantize_q4_k(w.reshape(-1)), np.uint8)
+        mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (m, k))
+        assert "stq" in mat.arrays and mat.arrays["stq"].dtype == jnp.uint8
+        g = k // 32
+        assert mat.arrays["sd"].shape == (g // 8, m)
+        scale_bytes_f32 = mat.arrays["st"].size * 4 + mat.arrays["mnt"].size * 4
+        scale_bytes_nat = (mat.arrays["stq"].size + mat.arrays["mnq"].size
+                           + (mat.arrays["sd"].size + mat.arrays["sdm"].size) * 4)
+        assert scale_bytes_nat * 2 < scale_bytes_f32
+
+        x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
+        y_native = quant_matmul(x, "qk", mat.arrays, m, k)
+        stripped = {kk: a for kk, a in mat.arrays.items()
+                    if kk not in ("stq", "mnq", "sd", "sdm")}
+        y_f32 = quant_matmul(x, "qk", stripped, m, k)
+        # identical up to f32 FMA-fusion rounding (the kernel forms
+        # d*sc/dmin*mn + 16*s in-register; the compiler may fuse the
+        # multiply-add the host-side precompute kept separate)
+        np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
+                                   rtol=1e-6, atol=1e-5)
+
+        dense = np.asarray(mat.dequantize(jnp.float32))
+        ref = np.asarray(x) @ dense.T
+        np.testing.assert_allclose(np.asarray(y_native), ref, rtol=2e-2,
+                                   atol=2e-2)
+
+    # straddling super-blocks: no native arrays, f32 path still exact
+    m, k = 256, 320  # k % 256 != 0
+    w = (rng.normal(size=(m, k)) * 0.05).astype(np.float32)
+    raw = np.frombuffer(quantize_q4_k(w.reshape(-1)), np.uint8)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (m, k))
+    assert "stq" not in mat.arrays

@@ -91,12 +91,12 @@ def test_sharded_fused_generation(model):
     gen = make_generator(info, steps=6)
     key = jax.random.key(0)
     tok = jnp.asarray([[3], [9]], jnp.int32)
-    toks_w, logits_w, _, _ = gen(params, init_state(info, B), tok, key)
+    toks_w, logits_w, _, _, _ = gen(params, init_state(info, B), tok, key)
 
     mesh = make_mesh(1, 4, devices=jax.devices()[:4])
     sp = shard_params(params, mesh, info)
     ss = shard_state(init_state(info, B), mesh)
-    toks_s, logits_s, _, _ = gen(sp, ss, tok, key)
+    toks_s, logits_s, _, _, _ = gen(sp, ss, tok, key)
     np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_w))
     # six chained steps amplify collective reduction-order differences
     np.testing.assert_allclose(

@@ -19,3 +19,17 @@ Layer map (TPU-first, cf. reference layer map in SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+from .errors import (  # noqa: E402,F401
+    EngineError,
+    GgufError,
+    InputExhausted,
+    InvalidVersion,
+    LoaderError,
+    TensorError,
+    TensorNotFound,
+    TokenizerError,
+    UnsupportedFeature,
+    UnsupportedTensorType,
+    WebRwkvError,
+)

@@ -39,6 +39,7 @@ def main(argv=None):
         toks = engine.generate(
             [list(prompt_tokens)], args.max_tokens,
             temperature=0.0 if args.sampler == "greedy" else args.temp,
+            top_p=args.top_p if args.sampler == "nucleus" else 0.0,
             seed=args.seed or 0,
         )[0]
         dt = time.perf_counter() - t0

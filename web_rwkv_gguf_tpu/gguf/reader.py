@@ -58,8 +58,7 @@ _T_STRING = 8
 _T_ARRAY = 9
 
 
-class GgufError(ValueError):
-    pass
+from ..errors import GgufError, TensorNotFound  # noqa: F401 (re-export)
 
 
 @dataclass
@@ -351,7 +350,7 @@ class GgufFile:
     def _info(self, name: str) -> GgufTensorInfo:
         gname = self.name_map.get(name)
         if gname is None:
-            raise KeyError(f"tensor not found: {name}")
+            raise TensorNotFound(f"tensor not found: {name}")
         return self.tensors[gname]
 
     def _head_size(self) -> int | None:

@@ -16,6 +16,7 @@ import numpy as np
 from ..quant.ggml import GGML_BLOCK_SIZES, GGML_TYPE_SIZES, GgmlDType
 from ..quant.ggml import quantize_q4_k, quantize_q8_0
 from .reader import GGUF_DEFAULT_ALIGNMENT, GGUF_MAGIC
+from ..errors import UnsupportedTensorType
 
 _NUMPY_TO_GGML = {
     np.dtype(np.float32): GgmlDType.F32,
@@ -111,7 +112,7 @@ class GgufWriter:
             ggml = GgmlDType.Q4_K
             data = quantize_q4_k(array.astype(np.float32).reshape(-1))
         else:
-            raise ValueError(f"unsupported quantization target: {quantize!r}")
+            raise UnsupportedTensorType(f"unsupported quantization target: {quantize!r}")
         self._tensors.append((name, dims_gguf, ggml, data))
 
     def add_raw_tensor(self, name: str, dims_gguf: tuple[int, ...], ggml: GgmlDType, data: bytes):

@@ -147,6 +147,12 @@ def _use_pallas() -> bool:
     return _pcfg.use_pallas() and not _pcfg.interpret
 
 
+def _scan_batch_cap() -> int:
+    from ..ops.pallas.layer7 import MAX_SCAN_BATCH
+
+    return MAX_SCAN_BATCH
+
+
 # prefill chunks at/above this length use the chunk-parallel (MXU)
 # formulation; below it the sequential scan wins. Measured on v5e-class
 # hw with host-fetch-synced timing (block_until_ready is unreliable over
@@ -791,7 +797,7 @@ def forward_chunk(
         version == ModelVersion.V7
         and hooks is None
         and T == 1
-        and x.shape[0] <= 4
+        and x.shape[0] <= _scan_batch_cap()
         and "mega7" in params
         and not isinstance(blocks, list)
         and not isinstance(state, list)

@@ -147,7 +147,9 @@ def detect_info(reader) -> ModelInfo:
     elif v4:
         version = ModelVersion.V4
     else:
-        raise ValueError("unable to detect model version from tensor names")
+        from ..errors import InvalidVersion
+
+        raise InvalidVersion("unable to detect model version from tensor names")
 
     num_emb = embed[1]
     num_hidden = ffn[0]

@@ -26,6 +26,7 @@ import numpy as np
 from ..quant.formats import QuantScheme
 from .info import ModelInfo, ModelVersion, detect_info
 from .matrix import Matrix
+from ..errors import TensorNotFound
 
 log = logging.getLogger(__name__)
 
@@ -174,7 +175,11 @@ def pad_matrix_rows(mat, multiple: int = 512):
     arrays = {
         key: jnp.asarray(np.pad(np.asarray(a), ((0, pad), (0, 0))))
         for key, a in mat.arrays.items()
-        if key not in ("st", "mnt")
+        # derived gemv operands are [g, m]-shaped (m on lanes) — drop and
+        # rebuild instead of row-padding; the native-factor forms
+        # (stq/mnq/sd/sdm) cannot be rebuilt from the f32 products, so a
+        # padded matrix falls back to the f32 operand path
+        if key not in ("st", "mnt", "stq", "mnq", "sd", "sdm")
     }
     arrays.update(recompute_gemv_arrays(mat.kind, arrays, m + pad, k))
     return Matrix(mat.kind, (m + pad, k), arrays)
@@ -297,17 +302,20 @@ def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
     V7 models whose matrices are uniformly quantized get the whole-stack
     decode kernel blocks attached as ``params["mega7"]``
     (ops/pallas/layer7.py — one Pallas launch runs all layers; weights
-    stay in the stacked scan form). Anything else — including engines
-    decoding more than 4 lanes, where the whole-stack kernel's in-kernel
-    gemv expansion stops paying — falls back to :func:`unroll_params`
-    (per-layer buffers, no scan-slice copies).
+    stay in the stacked scan form; batches above ~2 lanes switch the
+    in-kernel gemv to the batch-independent ``wide`` strategy). Anything
+    else — engines decoding more than ``MAX_SCAN_BATCH`` lanes, mixed
+    per-layer formats, dense/NF4 weights — falls back to
+    :func:`unroll_params` (per-layer buffers, no scan-slice copies).
     """
     from ..models.info import ModelVersion
     from ..ops.pallas import config as _pcfg
 
+    from ..ops.pallas.layer7 import MAX_SCAN_BATCH
+
     if (
         info.version == ModelVersion.V7
-        and batch_hint <= 4
+        and batch_hint <= MAX_SCAN_BATCH
         and _pcfg.use_pallas()
         and not isinstance(params.get("blocks"), list)
     ):
@@ -506,7 +514,7 @@ def load_model(
                 return ld.vector(name)
             if default is not None:
                 return default
-            raise KeyError(name)
+            raise TensorNotFound(name)
 
         v0 = [v7_vec(i, "v0", zeros_c if i == 0 else None) for i in range(L)]
         dv = info.custom.v or 1

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..quant.ggml import GgmlDType
 from ..quant import formats as qf
+from ..errors import LoaderError, UnsupportedTensorType
 
 
 def _gemv_scale_arrays(m: int, k: int, scales, mins, kdim: int | None = None) -> dict:
@@ -177,7 +178,7 @@ class Matrix:
                     ),
                 },
             )
-        raise ValueError(f"unsupported scheme {scheme}")
+        raise LoaderError(f"unsupported scheme {scheme}")
 
     @classmethod
     def from_gguf_blocks(cls, dtype: GgmlDType, raw: np.ndarray, shape) -> "Matrix":
@@ -193,16 +194,30 @@ class Matrix:
         m, k = int(shape[0]), int(shape[1])
         if dtype == GgmlDType.Q4_K:
             codes, scales, mins = repack.repack_q4_k(raw, m, k)
-            return cls(
-                "qk",
-                (m, k),
-                {
-                    "codes": jnp.asarray(codes),
-                    "scales": jnp.asarray(scales),
-                    "mins": jnp.asarray(mins),
-                    **_gemv_ops("qk", scales, mins, m, k, k // 2, False),
-                },
-            )
+            arrays = {
+                "codes": jnp.asarray(codes),
+                "scales": jnp.asarray(scales),
+                "mins": jnp.asarray(mins),
+                **_gemv_ops("qk", scales, mins, m, k, k // 2, False),
+            }
+            factors = repack.q4k_scale_factors(raw, m, k)
+            if factors is not None:
+                # native 6-bit + super-scale operands: the decode gemv
+                # streams these instead of the f32 product arrays. The
+                # raw row-major factors (sc6/mn6/d8/dm8) are kept too —
+                # the layer-scan kernel (ops/pallas/layer7.py) derives
+                # its own plain-transposed layout from them at prep time
+                from ..ops.pallas.matmul import build_gemv_operands_native
+
+                sc6, mn6, d8, dm8 = factors
+                arrays.update(
+                    build_gemv_operands_native(sc6, mn6, d8, dm8, m, k, k // 2)
+                )
+                arrays.update({
+                    "sc6": jnp.asarray(sc6), "mn6": jnp.asarray(mn6),
+                    "d8": jnp.asarray(d8), "dm8": jnp.asarray(dm8),
+                })
+            return cls("qk", (m, k), arrays)
         if dtype == GgmlDType.Q5_K:
             codes, scales, mins = repack.repack_q5_k(raw, m, k)
             return cls(
@@ -263,7 +278,7 @@ class Matrix:
                  **_gemv_ops("qk_nomin", scales, None, m, k, k,
                              codes.dtype == np.int8)},
             )
-        raise ValueError(f"no direct-quantized repack for {dtype!r}")
+        raise UnsupportedTensorType(f"no direct-quantized repack for {dtype!r}")
 
     # -- compute -----------------------------------------------------------
 
@@ -325,7 +340,7 @@ class Matrix:
             g = K // a["scales"].shape[-1]
             s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
             return (q * s).astype(dtype)
-        raise ValueError(f"unknown matrix kind {self.kind}")
+        raise LoaderError(f"unknown matrix kind {self.kind}")
 
     def matmul(self, x: jax.Array, precision=None) -> jax.Array:
         """``y[..., m] = Σ_k x[..., k] W[m, k]`` with f32 accumulation.

@@ -40,13 +40,19 @@ from . import config
 
 _VMEM_LIMIT = 100 << 20
 
+# largest decode batch routed through the layer-scan kernel; the `wide`
+# gemv strategy (scales expanded into the code planes, see _gemv_val)
+# keeps per-layer MXU work batch-independent above _WIDE_BATCH lanes
+MAX_SCAN_BATCH = 8
+_WIDE_BATCH = 2
+
 
 # ---------------------------------------------------------------------------
 # in-kernel building blocks
 # ---------------------------------------------------------------------------
 
 
-def _gemv_val(x, codes, st, off, *, split, m, k):
+def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
     """y[n, m] = x @ Wᵀ for one mega-arranged quantized matrix, as values.
 
     Nibble planes are turned into PACKED bf16 pairs by pure bit surgery:
@@ -60,6 +66,19 @@ def _gemv_val(x, codes, st, off, *, split, m, k):
     concat. ``st``/``off`` are PLAIN transposed logical scale/offset
     arrays; for byte kinds ``st`` carries [s ; 16·s] stacked (the hi
     nibble's scale).
+
+    Two reduction strategies, chosen by ``wide``:
+
+    * ``wide=False`` (batch ≤ ~2): x is GROUP-EXPANDED to one masked copy
+      per scale group and the code dot emits per-group partials — MXU
+      work scales with ``n·g·k·m`` but everything after the dot is tiny.
+    * ``wide=True``: the per-group scales are EXPANDED ALONG K with one
+      small mask dot ([m/2, g] @ [g, kdim]) and multiplied into the code
+      planes, so each batch row costs one plain [k]-dot — MXU work is
+      ``g·k·m`` (expansion, batch-independent) + ``n·k·m`` (dots). For
+      n = 8 the group-expansion form would pay 8× the expansion cost in
+      the main dots (prohibitive for the FFN value matrix, g = 84);
+      this form pays it once.
     """
     n = x.shape[0]
     kdim = codes.shape[-1]
@@ -78,10 +97,60 @@ def _gemv_val(x, codes, st, off, *, split, m, k):
     g = gs_rows // 2 if not split else gs_rows  # x-group count basis
     gh = g // 2 if split else g  # groups per expanded-x copy
     gsize = k // g if split else k // g
-    gmask = (
+    gmask_bool = (
         jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 1) // gsize
         == jax.lax.broadcasted_iota(jnp.int32, (gh, kdim), 0)
-    ).astype(jnp.bfloat16)
+    )
+
+    if wide:
+        f32 = jnp.float32
+        emask = gmask_bool.astype(f32)  # [gh, kdim] group-expansion mask
+
+        def sexp(rows):  # scales [gh, m'] -> k-expanded [m', kdim]
+            return jax.lax.dot_general(
+                rows, emask, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        def mdot(xs, w_eff):  # [n, kdim] x [m', kdim] -> [n, m']
+            return jax.lax.dot_general(
+                xs, w_eff, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        if split:
+            xlo = x[:, :kdim].astype(f32)
+            xhi = x[:, kdim:].astype(f32)
+            sx = jnp.concatenate([mdot(xlo, emask), mdot(xhi, emask)], axis=1)
+            y_a = (
+                mdot(xlo, pa_lo.astype(f32) * sexp(st[:gh, :m2]))
+                + mdot(xhi, pa_hi.astype(f32) * sexp(st[gh:, :m2]))
+            )
+            y_b = (
+                mdot(xlo, pb_lo.astype(f32) * sexp(st[:gh, m2:]))
+                + mdot(xhi, pb_hi.astype(f32) * sexp(st[gh:, m2:]))
+            )
+        else:
+            xf = x.astype(f32)
+            sx = mdot(xf, emask)  # [n, g]
+            # byte value u = 16·hi + lo; planes hold 16+nib, so
+            # lo + 16·hi planes give u + 272 — the 272·s (and any code
+            # offset) is already folded into ``off`` at prep time
+            y_a = mdot(xf, (pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32))
+                       * sexp(st[:g, :m2]))
+            y_b = mdot(xf, (pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32))
+                       * sexp(st[:g, m2:]))
+
+        def corr(cols):  # [n, g] @ [g, m'] offset correction
+            return jax.lax.dot_general(
+                sx, cols, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+        return jnp.concatenate([y_a - corr(off[:, :m2]),
+                                y_b - corr(off[:, m2:])], axis=-1)
+
+    gmask = gmask_bool.astype(jnp.bfloat16)
 
     def group_expand(xpart):  # [n, kdim] -> [n*gh, kdim]
         x3 = jnp.expand_dims(xpart, 1)
@@ -180,28 +249,63 @@ def _from_heads(y, m1, m2, B):
 # ---------------------------------------------------------------------------
 
 
+def _expand_super(rows, reps):
+    """[g/8, m] per-super-block rows -> [g, m]: sublane-dim repeat via
+    single-row concats (trace-time unrolled; lane layout untouched)."""
+    parts = []
+    for j in range(rows.shape[0]):
+        parts.extend([rows[j : j + 1]] * reps)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _layer_scan_kernel(
-    # per-layer blocks (leading 1 from the L axis)
-    ln1_ref, ln2_ref,  # [1, 2, C] (w, b)
-    xstack_ref,  # [1, 6, C] token-shift mixes r,w,k,v,a,g
-    vecs_ref,  # [1, 6, C] w0, a0, v0, k_k, k_a, ffn x_k
-    gn_ref,  # [1, 2, C] group-norm w, b
-    rk_ref,  # [1, H, hs]
-    down_ref,  # [1, D, C] bf16
-    up_ref,  # [1, C, D] bf16
-    rkv_codes_ref, rkv_st_ref, rkv_off_ref,  # [1, 3m, kdim], [1, 3, Gs, m]
-    wo_codes_ref, wo_st_ref, wo_off_ref,
-    fk_codes_ref, fk_st_ref, fk_off_ref,
-    fv_codes_ref, fv_st_ref, fv_off_ref,
-    x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref,
-    x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref,
-    x_scr, v0_scr,
-    *,
+    *refs,
     # statics
     B, C, H, hs, hidden, L, rescale,
-    rkv_split, wo_split, fk_split, fv_split,
-    lora_dims, eps_ln, eps_gn, eps_l2,
+    rkv_split, wo_split, fk_split, fv_split, native_tags,
+    lora_dims, eps_ln, eps_gn, eps_l2, wide,
 ):
+    """Ref layout (parsed positionally — mirrors layer_scan7's operand
+    assembly): 8 per-layer head refs, then per weight tag either
+    (codes, st, off) f32-operand refs or (codes, stq, mnq, sd, sdm)
+    native-factor refs (``native_tags``), then state/mask ins, outs,
+    and the two VMEM scratch carries."""
+    it = iter(refs)
+    ln1_ref, ln2_ref = next(it), next(it)  # [1, 2, C] (w, b)
+    xstack_ref = next(it)  # [1, 6, C] token-shift mixes r,w,k,v,a,g
+    vecs_ref = next(it)  # [1, 6, C] w0, a0, v0, k_k, k_a, ffn x_k
+    gn_ref = next(it)  # [1, 2, C] group-norm w, b
+    rk_ref = next(it)  # [1, H, hs]
+    down_ref = next(it)  # [1, D, C] bf16
+    up_ref = next(it)  # [1, C, D] bf16
+    wrefs = {}
+    for tag, is_native in zip(("rkv", "wo", "fk", "fv"), native_tags):
+        n_refs = 5 if is_native else 3
+        wrefs[tag] = tuple(next(it) for _ in range(n_refs))
+    x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref = (
+        next(it), next(it), next(it), next(it), next(it),
+    )
+    x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref = (
+        next(it), next(it), next(it), next(it),
+    )
+    x_scr, v0_scr = next(it), next(it)
+
+    def st_off(tag, j=None):
+        """Per-group f32 scale / folded-offset rows for one matrix —
+        loaded directly (f32 operands) or formed from the native 6-bit +
+        super-scale factors (st = d·sc, off = dmin·mn + 16·st; same fold
+        as matmul.py::_gemv_kernel2n)."""
+        is_native = dict(zip(("rkv", "wo", "fk", "fv"), native_tags))[tag]
+        sel = (lambda a: a[0, j]) if j is not None else (lambda a: a[0])
+        if not is_native:
+            _, st_ref, off_ref = wrefs[tag]
+            return sel(st_ref), sel(off_ref)
+        _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
+        qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
+        qm = sel(mnq_ref).astype(jnp.int32).astype(jnp.float32)
+        st = _expand_super(sel(sd_ref), 8) * qs
+        off = _expand_super(sel(sdm_ref), 8) * qm + 16.0 * st
+        return st, off
 
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -224,12 +328,14 @@ def _layer_scan_kernel(
 
     # --- r/k/v projections (grouped quantized gemv) ------------------------
     mdim = C
+    rkv_codes_ref = wrefs["rkv"][0]
     rkv = []
     for j, xin in enumerate((rx, kx, vx)):
         codes = rkv_codes_ref[0, j * mdim : (j + 1) * mdim]
+        st_j, off_j = st_off("rkv", j)
         rkv.append(
-            _gemv_val(xin.astype(jnp.bfloat16), codes, rkv_st_ref[0, j],
-                      rkv_off_ref[0, j], split=rkv_split, m=mdim, k=C)
+            _gemv_val(xin.astype(jnp.bfloat16), codes, st_j, off_j,
+                      split=rkv_split, m=mdim, k=C, wide=wide)
         )
     r, k, v = rkv
 
@@ -319,9 +425,10 @@ def _layer_scan_kernel(
     y_fl = _from_heads(y, m1, m2, B)  # [B, C]
 
     # --- output projection + residual --------------------------------------
+    wo_st, wo_off = st_off("wo")
     dx = _gemv_val(
-        y_fl.astype(jnp.bfloat16), wo_codes_ref[0], wo_st_ref[0],
-        wo_off_ref[0], split=wo_split, m=C, k=C,
+        y_fl.astype(jnp.bfloat16), wrefs["wo"][0][0], wo_st, wo_off,
+        split=wo_split, m=C, k=C, wide=wide,
     )
     x = x + dx
     ash_out_ref[0] = sh + m_lane * (xx - sh)
@@ -332,15 +439,17 @@ def _layer_scan_kernel(
     fsh = fsh_in_ref[0]
     fxk = vecs_ref[0, 5:6]
     kx2 = xx2 + fxk * (fsh - xx2)
+    fk_st, fk_off = st_off("fk")
     k_hid = _gemv_val(
-        kx2.astype(jnp.bfloat16), fk_codes_ref[0], fk_st_ref[0],
-        fk_off_ref[0], split=fk_split, m=hidden, k=C,
+        kx2.astype(jnp.bfloat16), wrefs["fk"][0][0], fk_st, fk_off,
+        split=fk_split, m=hidden, k=C, wide=wide,
     )
     k_hid = jnp.maximum(k_hid, 0.0)
     k_hid = k_hid * k_hid
+    fv_st, fv_off = st_off("fv")
     vf = _gemv_val(
-        k_hid.astype(jnp.bfloat16), fv_codes_ref[0], fv_st_ref[0],
-        fv_off_ref[0], split=fv_split, m=C, k=hidden,
+        k_hid.astype(jnp.bfloat16), wrefs["fv"][0][0], fv_st, fv_off,
+        split=fv_split, m=C, k=hidden, wide=wide,
     )
     x = x + vf
     fsh_out_ref[0] = fsh + m_lane * (xx2 - fsh)
@@ -432,6 +541,20 @@ def _prep_matrix(mat) -> dict | None:
     def t(x):  # [L, m, g] -> [L, g, m]
         return np.ascontiguousarray(np.swapaxes(x, -1, -2))
 
+    if mat.kind == "qk" and "sc6" in a:
+        # native scale factors (row-aligned super-blocks): stream 6-bit
+        # codes + per-8-group f16-valued super-scales instead of the two
+        # f32 product arrays — 2.7x less scale DMA; st/off form in-kernel
+        return {
+            "codes": jnp.asarray(codes),
+            "stq": jnp.asarray(t(np.asarray(a["sc6"], np.uint8))),
+            "mnq": jnp.asarray(t(np.asarray(a["mn6"], np.uint8))),
+            "sd": jnp.asarray(t(np.asarray(a["d8"], np.float32))),
+            "sdm": jnp.asarray(t(np.asarray(a["dm8"], np.float32))),
+            "split": True,
+            "native": True,
+        }
+
     if mat.kind == "qk":
         s = np.asarray(a["scales"], np.float32)
         mn = np.asarray(a["mins"], np.float32)
@@ -479,12 +602,13 @@ def prep_decode7(params: dict, info) -> dict | None:
     fv = _prep_matrix(ffn.get("Wv"))
     if any(p is None for p in rkv) or wo is None or fk is None or fv is None:
         return None
-    if any(p["split"] != rkv[0]["split"] for p in rkv):
-        return None
-    if any(p["codes"].shape != rkv[0]["codes"].shape for p in rkv):
-        return None
-    if any(p["st"].shape != rkv[0]["st"].shape for p in rkv):
-        return None
+    for key in ("split", "native"):
+        if any(p.get(key, False) != rkv[0].get(key, False) for p in rkv):
+            return None
+    scale_key = "stq" if rkv[0].get("native") else "st"
+    for key in ("codes", scale_key):
+        if any(p[key].shape != rkv[0][key].shape for p in rkv):
+            return None
     hidden = fk["codes"].shape[1]
     fv_k = fv["codes"].shape[-1] * (2 if fv["split"] else 1)
     if fv_k != hidden:
@@ -511,17 +635,26 @@ def prep_decode7(params: dict, info) -> dict | None:
         "down": att["lora_down"].astype(jnp.bfloat16),
         "up": att["lora_up"].astype(jnp.bfloat16),
         "rkv_codes": jnp.concatenate([p["codes"] for p in rkv], axis=1),
-        "rkv_st": jnp.stack([p["st"] for p in rkv], axis=1),
-        "rkv_off": jnp.stack([p["off"] for p in rkv], axis=1),
-        "wo_codes": wo["codes"], "wo_st": wo["st"], "wo_off": wo["off"],
-        "fk_codes": fk["codes"], "fk_st": fk["st"], "fk_off": fk["off"],
-        "fv_codes": fv["codes"], "fv_st": fv["st"], "fv_off": fv["off"],
     }
+    # per-tag scale operands: f32 (st, off) or native (stq, mnq, sd, sdm)
+    for p, tag in ((rkv[0], "rkv"), (wo, "wo"), (fk, "fk"), (fv, "fv")):
+        keys = ("stq", "mnq", "sd", "sdm") if p.get("native") else ("st", "off")
+        for key in keys:
+            if tag == "rkv":
+                mega[f"rkv_{key}"] = jnp.stack([q[key] for q in rkv], axis=1)
+            else:
+                mega[f"{tag}_{key}"] = p[key]
+    mega["wo_codes"] = wo["codes"]
+    mega["fk_codes"] = fk["codes"]
+    mega["fv_codes"] = fv["codes"]
     static = {
         "L": int(L), "C": int(C), "H": int(H), "hs": int(hs),
         "hidden": int(hidden), "lora_dims": dims,
         "rkv_split": rkv[0]["split"], "wo_split": wo["split"],
         "fk_split": fk["split"], "fv_split": fv["split"],
+        "native_tags": tuple(
+            bool(p.get("native")) for p in (rkv[0], wo, fk, fv)
+        ),
     }
     return DecodeBlocks7(mega, static)
 
@@ -564,8 +697,13 @@ def layer_scan7(
         blk((2, C)), blk((2, C)), blk((6, C)), blk((6, C)), blk((2, C)),
         blk((H, hs)), blk((D, C)), blk((C, D)),
     ]
-    for tag in ("rkv", "wo", "fk", "fv"):
-        for part in ("codes", "st", "off"):
+    native_tags = s.get("native_tags", (False,) * 4)
+    for tag, is_native in zip(("rkv", "wo", "fk", "fv"), native_tags):
+        parts = (
+            ("codes", "stq", "mnq", "sd", "sdm") if is_native
+            else ("codes", "st", "off")
+        )
+        for part in parts:
             a = mega[f"{tag}_{part}"]
             operands.append(a)
             in_specs.append(blk(tuple(a.shape[1:])))
@@ -590,8 +728,10 @@ def layer_scan7(
         B=B, C=C, H=H, hs=hs, hidden=hidden, L=L, rescale=rescale,
         rkv_split=s["rkv_split"], wo_split=s["wo_split"],
         fk_split=s["fk_split"], fv_split=s["fv_split"],
+        native_tags=native_tags,
         lora_dims=s["lora_dims"],
         eps_ln=eps_ln, eps_gn=eps_gn, eps_l2=eps_l2,
+        wide=B > _WIDE_BATCH,
     )
 
     x_out, ash, fsh, wkv = pl.pallas_call(

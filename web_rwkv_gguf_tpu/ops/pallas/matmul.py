@@ -308,6 +308,60 @@ def build_gemv_operands(kind, scales, mins, m, k, kdim, signed) -> dict:
     return {"st": jnp.asarray(st), "mnt": jnp.asarray(off)}
 
 
+def build_gemv_operands_native(sc, mn, d, dmin, m, k, kdim) -> dict:
+    """Native-factor scale operands for the v2 gemv ("qk" kind only):
+    6-bit scale/min codes stay u8 and the f16 super-scales stay one row
+    per 8 groups — 2.7x less scale DMA than the f32 product arrays, with
+    results identical to f32-FMA rounding (the kernel forms d·sc in f32
+    exactly as the load-time precompute did). Same per-tile [evens|odds] column
+    permutation as :func:`build_gemv_operands`; requires row-aligned
+    super-blocks (k % 256 == 0, enforced by q4k_scale_factors)."""
+    bm = _gemv_block_m(m, kdim)
+    if bm is None:
+        return {}
+
+    def tile(a):  # [m, r] -> [r, m] per-tile [evens|odds], dtype kept
+        a = np.ascontiguousarray(np.swapaxes(np.asarray(a), -1, -2))
+        sh = a.shape
+        a = a.reshape(sh[:-1] + (m // bm, bm))
+        a = np.concatenate([a[..., 0::2], a[..., 1::2]], axis=-1)
+        return np.ascontiguousarray(a.reshape(sh))
+
+    return {
+        "stq": jnp.asarray(tile(sc)),  # u8 [g, m]
+        "mnq": jnp.asarray(tile(mn)),  # u8 [g, m]
+        "sd": jnp.asarray(tile(np.asarray(d, np.float32))),  # f32 [g/8, m]
+        "sdm": jnp.asarray(tile(np.asarray(dmin, np.float32))),
+    }
+
+
+def _expand_super(rows, reps):
+    """[g/8, bm] per-super-block rows -> [g, bm]: sublane-dim repeat via
+    single-row concats (trace-time unrolled; lane layout untouched)."""
+    parts = []
+    for j in range(rows.shape[0]):
+        parts.extend([rows[j : j + 1]] * reps)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _gemv_kernel2n(codes_ref, stq_ref, mnq_ref, sd_ref, sdm_ref, x_ref,
+                   out_ref, *, split, n, g, kdim, gsize, bm, signed):
+    """v2 gemv with native "qk" scale factors: the per-group f32
+    scale/offset rows are FORMED IN-KERNEL from 6-bit codes and per-8-
+    group super-scales (st = d·sc, off = dmin·mn + 16·st — the same +16
+    packed-pair fold as build_gemv_operands), then the shared packed-pair
+    body runs unchanged. Trades ~g·bm VPU widen/multiply work for 2.7x
+    less scale DMA; the gemv is DMA-bound, so this wins."""
+    qs = stq_ref[:].astype(jnp.int32).astype(jnp.float32)  # [g, bm]
+    qm = mnq_ref[:].astype(jnp.int32).astype(jnp.float32)
+    d = _expand_super(sd_ref[:], 8)  # [g, bm]
+    dm = _expand_super(sdm_ref[:], 8)
+    st = d * qs
+    off = dm * qm + 16.0 * st
+    _gemv2_body(codes_ref, st, off, x_ref, out_ref, split=split, n=n, g=g,
+                kdim=kdim, gsize=gsize, bm=bm, signed=signed)
+
+
 def _gemv_kernel2(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
                   g, kdim, gsize, bm, signed):
     """v2 bitcast gemv: nibble planes become PACKED bf16 pairs by bit
@@ -319,6 +373,16 @@ def _gemv_kernel2(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
     (build_gemv_operands); signed codes are biased to unsigned in-kernel
     with one XOR. Output rows interleave (even-rows, odd-rows) per input
     row; the caller untangles with one reshape/transpose."""
+    _gemv2_body(codes_ref, st_ref[:], off_ref[:], x_ref, out_ref,
+                split=split, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
+                signed=signed)
+
+
+def _gemv2_body(codes_ref, st, off, x_ref, out_ref, *, split, n, g, kdim,
+                gsize, bm, signed):
+    """Shared packed-pair gemv body: ``st``/``off`` are the in-VMEM f32
+    per-group scale / folded-offset VALUES (loaded directly or formed
+    from native factors by _gemv_kernel2n)."""
     w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [bm/4, kdim]
     if signed:
         w = w ^ jnp.int32(-2139062144)  # 0x80808080: +128 per byte
@@ -367,14 +431,55 @@ def _gemv_kernel2(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
         sx = (
             jnp.concatenate([sxl[sl], sxh[sl]], axis=0) if split else sxm[sl]
         )  # [g, 1]
-        corr_a = jnp.sum(off_ref[:, :h] * sx, axis=0, keepdims=True)
-        corr_b = jnp.sum(off_ref[:, h:] * sx, axis=0, keepdims=True)
+        corr_a = jnp.sum(off[:, :h] * sx, axis=0, keepdims=True)
+        corr_b = jnp.sum(off[:, h:] * sx, axis=0, keepdims=True)
         out_ref[2 * nn : 2 * nn + 1, :] = (
-            jnp.sum(p_a * st_ref[:, :h], axis=0, keepdims=True) - corr_a
+            jnp.sum(p_a * st[:, :h], axis=0, keepdims=True) - corr_a
         )
         out_ref[2 * nn + 1 : 2 * nn + 2, :] = (
-            jnp.sum(p_b * st_ref[:, h:], axis=0, keepdims=True) - corr_b
+            jnp.sum(p_b * st[:, h:], axis=0, keepdims=True) - corr_b
         )
+
+
+def _quant_gemv2_native(x, codes, stq, mnq, sd, sdm, *, m, k, kdim,
+                        gsize) -> jax.Array:
+    """v2 gemv taking the native "qk" scale factors (see
+    build_gemv_operands_native). Matches _quant_gemv2 on the equivalent
+    f32 product operands to FMA-fusion rounding (~1 ulp)."""
+    n = x.shape[0]
+    g = k // gsize
+    bm = _gemv_block_m(m, kdim)
+    kernel = functools.partial(
+        _gemv_kernel2n, split=True, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
+        signed=False,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g // 8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g // 8, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * n, bm // 2), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * n, m // 2), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * k,
+            bytes_accessed=codes.size + stq.size * 3 + n * k * 2 + n * m * 4,
+            transcendentals=0,
+        ),
+    )(codes, stq, mnq, sd, sdm, x.astype(jnp.bfloat16))
+    return (
+        out.reshape(n, 2, m // bm, bm // 2)
+        .transpose(0, 2, 3, 1)
+        .reshape(n, m)
+    )
 
 
 def _quant_gemv2(x, codes, st, mnt, *, split, signed, m, k, kdim,
@@ -730,6 +835,12 @@ def quant_matmul(
         and (kind not in ("qk", "nf4") or g % 2 == 0)
         and n * g * kdim * 2 <= (4 << 20)
     ):
+        if kind == "qk" and "stq" in arrays and arrays["stq"].shape == (g, m):
+            # native scale factors: 2.7x less scale DMA, f32-exact
+            return _quant_gemv2_native(
+                x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
+                arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
+            )
         pre_st = arrays.get("st")
         pre_mnt = arrays.get("mnt")
         if kind != "nf4" and pre_st is not None and pre_mnt is not None:

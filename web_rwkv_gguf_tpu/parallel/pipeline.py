@@ -19,6 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.forward import _layer_v7, embed_tokens
 from ..models.info import ModelInfo, ModelVersion
 from ..models.matrix import Matrix
+from ..errors import EngineError, UnsupportedFeature
 
 
 def _stage_forward(info, blocks_local, state_local_mb, x, v0, stage, layers_per_stage,
@@ -55,11 +56,11 @@ def make_pipeline_forward(
     ``models.logits_head`` to the returned x as usual.
     """
     if info.version != ModelVersion.V7:
-        raise NotImplementedError("pipeline-parallel forward is V7-only")
+        raise UnsupportedFeature("pipeline-parallel forward is V7-only")
     L = info.num_layer
     n_stages = mesh.shape[axis]
     if L % n_stages:
-        raise ValueError(f"num_layer {L} must divide by pipeline stages {n_stages}")
+        raise EngineError(f"num_layer {L} must divide by pipeline stages {n_stages}")
     lps = L // n_stages
     M = num_microbatch
 

@@ -27,6 +27,7 @@ from ..models.info import ModelInfo, ModelVersion
 from ..ops import basic as B
 from ..ops import wkv as W
 from ..ops.wkv_chunked import _tri_solve_unit_lower
+from ..errors import UnsupportedFeature
 
 
 # --------------------------------------------------------------------------
@@ -317,7 +318,7 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
     the axis size × 16. Weights are replicated along ``axis``.
     """
     if info.version not in (ModelVersion.V5, ModelVersion.V6, ModelVersion.V7):
-        raise NotImplementedError("sequence-parallel prefill supports V5/V6/V7")
+        raise UnsupportedFeature("sequence-parallel prefill supports V5/V6/V7")
     L = info.num_layer
 
     def inner(params, state, tokens):

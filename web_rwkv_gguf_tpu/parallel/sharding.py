@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.info import ModelInfo
 from ..models.matrix import Matrix
+from ..errors import UnsupportedFeature
 
 
 def make_mesh(
@@ -101,7 +102,7 @@ def _replicate(tree, mesh):
 def shard_params(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
     """Place parameters on the mesh per the sharding plan."""
     if isinstance(params["blocks"], list):
-        raise NotImplementedError(
+        raise UnsupportedFeature(
             "mixed per-layer quant (unrolled form) does not support "
             "sharding; use a uniform quant scheme"
         )

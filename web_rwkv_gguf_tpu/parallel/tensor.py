@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.forward import forward_chunk, logits_head
 from ..models.info import ModelInfo, ModelVersion
 from ..models.matrix import Matrix
+from ..errors import EngineError, UnsupportedFeature
 
 _COL = ("Wr", "Wk", "Wv", "Wg", "Wo")
 _COL_FFN = ("Wk", "Wv", "Wr")
@@ -146,9 +147,13 @@ def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
 
 
 def _col_shardable(m: Matrix, n: int) -> bool:
+    # derived gemv operands ([.., g, m]/[.., g/8, m] layouts) are dropped
+    # and rebuilt at placement (_shard_mat_col) — only the row-major
+    # [.., m, ..] storage arrays decide shardability
     return "lut" not in m.arrays and all(
         a.shape[-2] % n == 0
-        for k, a in m.arrays.items() if k not in ("st", "mnt")
+        for k, a in m.arrays.items()
+        if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm")
     )
 
 
@@ -165,7 +170,11 @@ def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
             {k2: jax.device_put(a2, NamedSharding(mesh, P()))
              for k2, a2 in m.arrays.items()},
         )
-    arrays = {k: a for k, a in m.arrays.items() if k not in ("st", "mnt")}
+    # native-factor operands (stq/mnq/sd/sdm) are [.., g, m]-shaped and
+    # cannot ride the generic M-axis spec; drop them — the rebuilt f32
+    # st/mnt operands serve the shard (native is a single-chip fast path)
+    arrays = {k: a for k, a in m.arrays.items()
+              if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm")}
     arrays.update(_reshard_gemv_arrays(m, n))
     out = {}
     for k, a in arrays.items():
@@ -197,7 +206,7 @@ def _spec_for_mat(m: Matrix, mesh: Mesh) -> object:
 def shard_params_tp(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
     """Place parameters for :func:`make_tp_forward` (all-column plan)."""
     if isinstance(params["blocks"], list):
-        raise NotImplementedError("TP requires the stacked (scan) form")
+        raise UnsupportedFeature("TP requires the stacked (scan) form")
     rep = NamedSharding(mesh, P())
 
     def replicate(tree):
@@ -322,13 +331,13 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
     a ``[B, T, C]`` float embedding tensor instead of ids).
     """
     if info.version not in _ATT_SLICES:
-        raise NotImplementedError(
+        raise UnsupportedFeature(
             "shard_map TP implemented for V5/V6/V7 (V4's single-head WKV "
             "state is channel-wide; use the GSPMD path)"
         )
     n = mesh.shape["model"]
     if info.num_emb % n or info.num_head % n or info.num_hidden % n:
-        raise ValueError(f"C/H/hidden must divide model axis ({n})")
+        raise EngineError(f"C/H/hidden must divide model axis ({n})")
 
     specs = _param_specs(params, mesh)
     head_sharded = _spec_for_mat(params["head"], mesh) != P()

@@ -321,7 +321,11 @@ def dequantize(dtype: GgmlDType, data, num_elements: int) -> np.ndarray:
     try:
         fn = _DEQUANTIZERS[dtype]
     except KeyError:
-        raise ValueError(f"unsupported quantized ggml type: {dtype!r}") from None
+        from ..errors import UnsupportedTensorType
+
+        raise UnsupportedTensorType(
+            f"unsupported quantized ggml type: {dtype!r}"
+        ) from None
     return fn(data, num_elements)
 
 

@@ -53,6 +53,35 @@ def repack_q4_k(raw, m: int, k: int):
     return packed, scales, mins
 
 
+def q4k_scale_factors(raw, m: int, k: int):
+    """Exact native scale factorization for Q4_K: per-32-group 6-bit
+    codes plus per-super-block f16 super-scales, row-aligned —
+    ``(sc u8 [M, K/32], mn u8 [M, K/32], d f32 [M, K/256],
+    dmin f32 [M, K/256])`` with ``scales == d.repeat(8) * sc`` and
+    ``mins == dmin.repeat(8) * mn`` bit-exactly (both paths form the
+    product in f32). Returns None when super-blocks straddle rows
+    (k % 256 != 0 — see the flat-stream note in CLAUDE.md); callers
+    then keep only the f32 product arrays.
+
+    Feeding kernels the factors instead of the products cuts scale-array
+    DMA 2.7x (2 u8 + ¼-dense f32 vs 2 f32 per group) — decode gemvs are
+    DMA-bound, so this is throughput, not just footprint.
+    """
+    if k % 256:
+        return None
+    b = _blocks(raw, 144)
+    assert b.shape[0] * 256 == m * k
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    dmin = _f16(b[:, 2:4]).astype(np.float32)
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    return (
+        sc.astype(np.uint8).reshape(m, k // 32),
+        mn.astype(np.uint8).reshape(m, k // 32),
+        d.reshape(m, k // 256),
+        dmin.reshape(m, k // 256),
+    )
+
+
 def repack_q5_k(raw, m: int, k: int):
     """→ (codes u8 [M, K] values 0..31, scales f32 [M, K/32], mins f32 [M, K/32])."""
     b = _blocks(raw, 176)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..errors import EngineError, TensorError, UnsupportedFeature
 from ..models.forward import forward_chunk, init_state, logits_head
 from ..models.info import ModelInfo
 from .scheduler import RnnInput, RnnInputBatch, RnnOption
@@ -84,7 +85,7 @@ class Engine:
         pipeline_microbatches: int | None = None,
     ):
         if tp_mode not in ("gspmd", "shard_map"):
-            raise ValueError(f"unknown tp_mode {tp_mode!r}")
+            raise EngineError(f"unknown tp_mode {tp_mode!r}")
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
@@ -164,9 +165,9 @@ class Engine:
         self._sp_min_t = seq_parallel_min_t
         if seq_parallel:
             if mesh is None:
-                raise ValueError("seq_parallel requires a mesh")
+                raise EngineError("seq_parallel requires a mesh")
             if hooks:
-                raise NotImplementedError(
+                raise UnsupportedFeature(
                     "hooks are not supported on the seq-parallel prefill path"
                 )
             from ..parallel.sequence import make_seq_parallel_prefill
@@ -182,13 +183,13 @@ class Engine:
         self._ppf = None
         if pipeline_microbatches:
             if mesh is None:
-                raise ValueError("pipeline_microbatches requires a mesh")
+                raise EngineError("pipeline_microbatches requires a mesh")
             if hooks:
-                raise NotImplementedError(
+                raise UnsupportedFeature(
                     "hooks are not supported on the pipeline path"
                 )
             if num_batch % pipeline_microbatches:
-                raise ValueError("num_batch must divide by microbatches")
+                raise EngineError("num_batch must divide by microbatches")
             from ..parallel.pipeline import make_pipeline_forward
 
             self._ppf = make_pipeline_forward(
@@ -255,9 +256,7 @@ class Engine:
         pushing sampled tokens back into the input lanes.
         """
         if len(input.batches) != self.num_batch:
-            raise ValueError(
-                f"input has {len(input.batches)} batches, engine has {self.num_batch}"
-            )
+            raise TensorError.batch(len(input.batches), self.num_batch)
         plan = input.plan()
         lens = [p.len for p in plan]
         n_tok = sum(lens)
@@ -400,6 +399,7 @@ class Engine:
         *,
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 0.0,
         stop_tokens: set[int] | None = None,
         seed: int = 0,
         segment: int = 32,
@@ -408,15 +408,19 @@ class Engine:
         tokens per device launch with on-chip sampling (~15x decode
         throughput vs per-token dispatch over high-latency links).
 
-        All lanes decode in lockstep; shorter lanes stop contributing
-        once a stop token appears (their surplus tokens are trimmed).
+        ``top_p`` in (0, 1) enables on-device nucleus sampling (the
+        reference ships nucleus in its chat example, ref:
+        examples/chat.rs:158-194). Lanes decode in lockstep, but a lane
+        that samples a stop token FREEZES on-device (its recurrent
+        state stops advancing, via the padding mask) and the loop exits
+        as soon as every lane has stopped; surplus tokens are trimmed.
         """
         import jax
 
         from ..models.generate import make_generator
 
         if len(prompts) != self.num_batch:
-            raise ValueError("one prompt per engine lane required")
+            raise TensorError.batch(len(prompts), self.num_batch)
         inp = RnnInput(
             [RnnInputBatch(list(p)) for p in prompts], self.token_chunk_size
         )
@@ -435,22 +439,26 @@ class Engine:
             np.int32,
         )[:, None]
 
+        stop_tokens = stop_tokens or set()
         gen = make_generator(
-            self.info, steps=segment, temperature=temperature, top_k=top_k
+            self.info, steps=segment, temperature=temperature, top_k=top_k,
+            top_p=top_p, stop_ids=tuple(sorted(stop_tokens)),
         )
         key = jax.random.key(seed)
         token = jnp.asarray(first)
         results = [[int(t)] for t in first[:, 0]]
         produced = 1
         while produced < max_tokens:
-            toks, logits, self.state, key = gen(self.params, self.state, token, key)
+            toks, logits, self.state, key, done = gen(
+                self.params, self.state, token, key
+            )
             toks_np = np.asarray(toks)
             for b in range(self.num_batch):
                 results[b].extend(int(t) for t in toks_np[b])
             produced += segment
             token = toks[:, -1:]
-
-        stop_tokens = stop_tokens or set()
+            if stop_tokens and bool(np.asarray(done).all()):
+                break  # every lane froze on its stop token
         trimmed = []
         for seq in results:
             seq = seq[:max_tokens]

@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..errors import TensorError
+
 
 @dataclass
 class VisionInput:
@@ -39,9 +41,7 @@ def infer_vision(info, params, input: VisionInput, state=None):
     from ..models import forward_chunk, init_state
 
     if input.num_emb != info.num_emb:
-        raise ValueError(
-            f"patch embedding size {input.num_emb} != model num_emb {info.num_emb}"
-        )
+        raise TensorError.size(input.num_emb, info.num_emb)
     n = input.num_patch
     embeds = (
         input.patches.reshape(input.num_emb, n).T[None, :, :].astype(np.float32)

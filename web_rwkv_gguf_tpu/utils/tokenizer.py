@@ -12,8 +12,7 @@ import json
 from pathlib import Path
 
 
-class TokenizerError(ValueError):
-    pass
+from ..errors import TokenizerError  # noqa: F401 (re-export)
 
 
 class Tokenizer:
