@@ -520,7 +520,7 @@ def test_layer_scan7_matches_forward(quant, B, C):
     assert mega is not None
     mega_f32 = None
     if quant == "q4k" and C == 256:
-        assert mega.static["native_tags"] == (True, True, True, True)
+        assert mega.static["native_tags"] == ("qk",) * 4
         # strip the native factors -> the f32 product-operand kernel; the
         # native path must match it ~exactly (same math, FMA rounding)
         def _strip(tree):
@@ -648,3 +648,88 @@ def test_native_scale_gemv_bit_identical():
     raw = np.frombuffer(quantize_q4_k(w.reshape(-1)), np.uint8)
     mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (m, k))
     assert "stq" not in mat.arrays
+
+
+def test_native_scale_gemv_q6k():
+    """Q6_K no-min native factors (signed 8-bit scale codes + super-
+    scales) vs the f32 product-operand gemv and the exact dense
+    reference. The offset fold (400·s for signed codes) is formed
+    in-kernel, so (scq, sdn) replaces BOTH f32 operand arrays."""
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import quant_matmul
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType, quantize_q6_k
+
+    rng = np.random.default_rng(13)
+    m, k, n = 512, 512, 2
+    w = (rng.normal(size=(m, k)) * 0.05).astype(np.float32)
+    raw = np.frombuffer(quantize_q6_k(w.reshape(-1)), np.uint8)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q6_K, raw, (m, k))
+    assert mat.kind == "qk_nomin"
+    assert "scq" in mat.arrays and mat.arrays["scq"].dtype == jnp.int8
+    g = k // 16
+    assert mat.arrays["sdn"].shape == (g // 16, m)
+
+    x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
+    y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
+    stripped = {kk: a for kk, a in mat.arrays.items()
+                if kk not in ("scq", "sdn", "q6s", "q6d")}
+    y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
+    np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
+                               rtol=1e-6, atol=3e-5)  # FMA-fusion rounding
+    dense = np.asarray(mat.dequantize(jnp.float32))
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y_native), ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("B", [1, 5])
+def test_layer_scan7_q6k_native(B):
+    """Layer-scan kernel on a fully-Q6_K model: the no-min native form
+    must apply to every matrix and match the f32-operand kernel."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=256, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q6k",
+    )
+    mega = prep_decode7(params, info)
+    assert mega is not None
+    assert all(isinstance(t, tuple) and t[0] == "nomin" and t[1] == 400.0
+               for t in mega.static["native_tags"])
+
+    def _strip(tree):
+        if isinstance(tree, Matrix):
+            return Matrix(tree.kind, tree.shape, {
+                kk: v for kk, v in tree.arrays.items()
+                if kk not in ("scq", "sdn", "q6s", "q6d")
+            })
+        if isinstance(tree, dict):
+            return {kk: _strip(v) for kk, v in tree.items()}
+        return tree
+
+    pf = dict(params)
+    pf["blocks"] = _strip(params["blocks"])
+    mega_f32 = prep_decode7(pf, info)
+    assert mega_f32.static["native_tags"] == (False,) * 4
+
+    s_n = init_state(info, B)
+    s_f = init_state(info, B)
+    mask = jnp.ones((B,), jnp.float32)
+    for t in (3, 9):
+        tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 7 + t) % 64
+        x = embed_tokens(params, tok)[:, 0]
+        xo_n, s_n = layer_scan7(mega, s_n, x, mask, None,
+                                LN_EPS, GN_EPS, L2_EPS)
+        xo_f, s_f = layer_scan7(mega_f32, s_f, x, mask, None,
+                                LN_EPS, GN_EPS, L2_EPS)
+        np.testing.assert_allclose(np.asarray(xo_n), np.asarray(xo_f),
+                                   rtol=1e-5, atol=1e-4)
+        for kk in s_n:
+            np.testing.assert_allclose(
+                np.asarray(s_n[kk]), np.asarray(s_f[kk]), rtol=1e-5,
+                atol=1e-4, err_msg=kk,
+            )

@@ -179,7 +179,7 @@ def pad_matrix_rows(mat, multiple: int = 512):
         # rebuild instead of row-padding; the native-factor forms
         # (stq/mnq/sd/sdm) cannot be rebuilt from the f32 products, so a
         # padded matrix falls back to the f32 operand path
-        if key not in ("st", "mnt", "stq", "mnq", "sd", "sdm")
+        if key not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")
     }
     arrays.update(recompute_gemv_arrays(mat.kind, arrays, m + pad, k))
     return Matrix(mat.kind, (m + pad, k), arrays)

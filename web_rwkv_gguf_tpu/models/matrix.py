@@ -232,13 +232,23 @@ class Matrix:
             )
         if dtype == GgmlDType.Q6_K:
             codes, scales = repack.repack_q6_k(raw, m, k)
-            return cls(
-                "qk_nomin",
-                (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
-                             codes.dtype == np.int8)},
-            )
+            arrays = {
+                "codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                            codes.dtype == np.int8),
+            }
+            factors = repack.q6k_scale_factors(raw, m, k)
+            if factors is not None:
+                # native signed scale codes + super-scales (see Q4_K
+                # branch above); raw forms kept for the layer-scan prep
+                from ..ops.pallas.matmul import build_gemv_operands_native_nomin
+
+                sc8, d8 = factors
+                arrays.update(
+                    build_gemv_operands_native_nomin(sc8, d8, m, k, k)
+                )
+                arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
+            return cls("qk_nomin", (m, k), arrays)
         if dtype == GgmlDType.Q8_0:
             codes, scales = repack.repack_q8_0(raw, m, k)
             return cls(
@@ -250,13 +260,23 @@ class Matrix:
             )
         if dtype == GgmlDType.Q3_K:
             codes, scales = repack.repack_q3_k(raw, m, k)
-            return cls(
-                "qk_nomin",
-                (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
-                             codes.dtype == np.int8)},
-            )
+            arrays = {
+                "codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                            codes.dtype == np.int8),
+            }
+            factors = repack.q3k_scale_factors(raw, m, k)
+            if factors is not None:
+                # same no-min native contract as Q6_K (keys shared so the
+                # gemv dispatch and layer-scan prep treat them uniformly)
+                from ..ops.pallas.matmul import build_gemv_operands_native_nomin
+
+                sc8, d8 = factors
+                arrays.update(
+                    build_gemv_operands_native_nomin(sc8, d8, m, k, k)
+                )
+                arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
+            return cls("qk_nomin", (m, k), arrays)
         if dtype == GgmlDType.Q2_K:
             codes, scales, mins = repack.repack_q2_k(raw, m, k)
             return cls(

@@ -279,9 +279,8 @@ def _layer_scan_kernel(
     down_ref = next(it)  # [1, D, C] bf16
     up_ref = next(it)  # [1, C, D] bf16
     wrefs = {}
-    for tag, is_native in zip(("rkv", "wo", "fk", "fv"), native_tags):
-        n_refs = 5 if is_native else 3
-        wrefs[tag] = tuple(next(it) for _ in range(n_refs))
+    for tag, native in zip(("rkv", "wo", "fk", "fv"), native_tags):
+        wrefs[tag] = tuple(next(it) for _ in range(len(_form_keys(native))))
     x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref = (
         next(it), next(it), next(it), next(it), next(it),
     )
@@ -292,20 +291,28 @@ def _layer_scan_kernel(
 
     def st_off(tag, j=None):
         """Per-group f32 scale / folded-offset rows for one matrix —
-        loaded directly (f32 operands) or formed from the native 6-bit +
-        super-scale factors (st = d·sc, off = dmin·mn + 16·st; same fold
-        as matmul.py::_gemv_kernel2n)."""
-        is_native = dict(zip(("rkv", "wo", "fk", "fv"), native_tags))[tag]
+        loaded directly (f32 operands) or formed from the native scale
+        factors: "qk" form st = d·sc, off = dmin·mn + 16·st; no-min form
+        st = [s;16s], off = (272+128·signed)·s with s = d·sc (same folds
+        as matmul.py::_gemv_kernel2n / _gemv_kernel2n_nomin)."""
+        native = dict(zip(("rkv", "wo", "fk", "fv"), native_tags))[tag]
         sel = (lambda a: a[0, j]) if j is not None else (lambda a: a[0])
-        if not is_native:
-            _, st_ref, off_ref = wrefs[tag]
-            return sel(st_ref), sel(off_ref)
-        _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
-        qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
-        qm = sel(mnq_ref).astype(jnp.int32).astype(jnp.float32)
-        st = _expand_super(sel(sd_ref), 8) * qs
-        off = _expand_super(sel(sdm_ref), 8) * qm + 16.0 * st
-        return st, off
+        if native == "qk":
+            _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
+            qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
+            qm = sel(mnq_ref).astype(jnp.int32).astype(jnp.float32)
+            st = _expand_super(sel(sd_ref), 8) * qs
+            off = _expand_super(sel(sdm_ref), 8) * qm + 16.0 * st
+            return st, off
+        if isinstance(native, tuple) and native[0] == "nomin":
+            _, scq_ref, sdn_ref = wrefs[tag]
+            q = sel(scq_ref).astype(jnp.int32).astype(jnp.float32)
+            sdn = sel(sdn_ref)
+            s_lo = _expand_super(sdn, q.shape[0] // sdn.shape[0]) * q
+            st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)
+            return st, native[1] * s_lo
+        _, st_ref, off_ref = wrefs[tag]
+        return sel(st_ref), sel(off_ref)
 
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -471,6 +478,16 @@ def _layer_scan_kernel(
 _QKINDS = ("qk", "qk_b", "qk_nomin", "int8")
 
 
+def _form_keys(prep: dict) -> tuple:
+    """Operand key tuple for a _prep_matrix form (codes first)."""
+    native = prep.get("native") if isinstance(prep, dict) else prep
+    if native == "qk":
+        return ("codes", "stq", "mnq", "sd", "sdm")
+    if isinstance(native, tuple) and native and native[0] == "nomin":
+        return ("codes", "scq", "sdn")
+    return ("codes", "st", "off")
+
+
 @jax.tree_util.register_pytree_node_class
 class DecodeBlocks7:
     """Stacked decode blocks + static shape/kind metadata, registered as a
@@ -552,7 +569,19 @@ def _prep_matrix(mat) -> dict | None:
             "sd": jnp.asarray(t(np.asarray(a["d8"], np.float32))),
             "sdm": jnp.asarray(t(np.asarray(a["dm8"], np.float32))),
             "split": True,
-            "native": True,
+            "native": "qk",
+        }
+
+    if mat.kind == "qk_nomin" and "q6s" in a:
+        # no-min native factors (Q6_K/Q3_K): signed scale codes + super-
+        # scales replace BOTH f32 operand arrays; the offset fold is the
+        # scalar (272 + 128·signed)·s, formed in-kernel
+        return {
+            "codes": jnp.asarray(codes),
+            "scq": jnp.asarray(t(np.asarray(a["q6s"], np.int8))),
+            "sdn": jnp.asarray(t(np.asarray(a["q6d"], np.float32))),
+            "split": False,
+            "native": ("nomin", 272.0 + shift),
         }
 
     if mat.kind == "qk":
@@ -605,7 +634,7 @@ def prep_decode7(params: dict, info) -> dict | None:
     for key in ("split", "native"):
         if any(p.get(key, False) != rkv[0].get(key, False) for p in rkv):
             return None
-    scale_key = "stq" if rkv[0].get("native") else "st"
+    scale_key = _form_keys(rkv[0])[1]
     for key in ("codes", scale_key):
         if any(p[key].shape != rkv[0][key].shape for p in rkv):
             return None
@@ -636,10 +665,10 @@ def prep_decode7(params: dict, info) -> dict | None:
         "up": att["lora_up"].astype(jnp.bfloat16),
         "rkv_codes": jnp.concatenate([p["codes"] for p in rkv], axis=1),
     }
-    # per-tag scale operands: f32 (st, off) or native (stq, mnq, sd, sdm)
+    # per-tag scale operands: f32 (st, off), qk-native (stq, mnq, sd,
+    # sdm), or no-min-native (scq, sdn)
     for p, tag in ((rkv[0], "rkv"), (wo, "wo"), (fk, "fk"), (fv, "fv")):
-        keys = ("stq", "mnq", "sd", "sdm") if p.get("native") else ("st", "off")
-        for key in keys:
+        for key in _form_keys(p)[1:]:
             if tag == "rkv":
                 mega[f"rkv_{key}"] = jnp.stack([q[key] for q in rkv], axis=1)
             else:
@@ -653,7 +682,7 @@ def prep_decode7(params: dict, info) -> dict | None:
         "rkv_split": rkv[0]["split"], "wo_split": wo["split"],
         "fk_split": fk["split"], "fv_split": fv["split"],
         "native_tags": tuple(
-            bool(p.get("native")) for p in (rkv[0], wo, fk, fv)
+            p.get("native", False) for p in (rkv[0], wo, fk, fv)
         ),
     }
     return DecodeBlocks7(mega, static)
@@ -698,12 +727,8 @@ def layer_scan7(
         blk((H, hs)), blk((D, C)), blk((C, D)),
     ]
     native_tags = s.get("native_tags", (False,) * 4)
-    for tag, is_native in zip(("rkv", "wo", "fk", "fv"), native_tags):
-        parts = (
-            ("codes", "stq", "mnq", "sd", "sdm") if is_native
-            else ("codes", "st", "off")
-        )
-        for part in parts:
+    for tag, native in zip(("rkv", "wo", "fk", "fv"), native_tags):
+        for part in _form_keys(native):
             a = mega[f"{tag}_{part}"]
             operands.append(a)
             in_specs.append(blk(tuple(a.shape[1:])))

@@ -336,12 +336,87 @@ def build_gemv_operands_native(sc, mn, d, dmin, m, k, kdim) -> dict:
 
 
 def _expand_super(rows, reps):
-    """[g/8, bm] per-super-block rows -> [g, bm]: sublane-dim repeat via
-    single-row concats (trace-time unrolled; lane layout untouched)."""
+    """[g/reps, bm] per-super-block rows -> [g, bm]: sublane-dim repeat
+    via single-row concats (trace-time unrolled; lane layout untouched)."""
     parts = []
     for j in range(rows.shape[0]):
         parts.extend([rows[j : j + 1]] * reps)
     return jnp.concatenate(parts, axis=0)
+
+
+def build_gemv_operands_native_nomin(sc, d, m, k, kdim) -> dict:
+    """Native-factor operands for no-min byte kinds (Q6_K/Q3_K): signed
+    8-bit scale codes + per-super-block f16 super-scales. The offset
+    fold for these kinds is a scalar multiple of the scale, so (scq,
+    sdn) replaces BOTH f32 operand arrays — ~9.6x less scale DMA (Q6_K's
+    per-16 groups make the f32 operands 75% the size of its codes)."""
+    bm = _gemv_block_m(m, kdim)
+    if bm is None:
+        return {}
+
+    def tile(a):  # [m, r] -> [r, m] per-tile [evens|odds], dtype kept
+        a = np.ascontiguousarray(np.swapaxes(np.asarray(a), -1, -2))
+        sh = a.shape
+        a = a.reshape(sh[:-1] + (m // bm, bm))
+        a = np.concatenate([a[..., 0::2], a[..., 1::2]], axis=-1)
+        return np.ascontiguousarray(a.reshape(sh))
+
+    return {
+        "scq": jnp.asarray(tile(np.asarray(sc, np.int8))),
+        "sdn": jnp.asarray(tile(np.asarray(d, np.float32))),
+    }
+
+
+def _gemv_kernel2n_nomin(codes_ref, scq_ref, sd_ref, x_ref, out_ref, *, n,
+                         g, kdim, gsize, bm, signed, reps):
+    """v2 gemv with native no-min scale factors: st = [s;16s] and the
+    offset fold (272+128·signed)·s are FORMED IN-KERNEL from the signed
+    scale codes and super-scales (s = d·sc)."""
+    q = scq_ref[:].astype(jnp.int32).astype(jnp.float32)  # [g, bm]
+    s_lo = _expand_super(sd_ref[:], reps) * q
+    st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)  # [2g, bm]
+    off = (400.0 if signed else 272.0) * s_lo
+    _gemv2_body(codes_ref, st, off, x_ref, out_ref, split=False, n=n, g=g,
+                kdim=kdim, gsize=gsize, bm=bm, signed=signed)
+
+
+def _quant_gemv2_nomin_native(x, codes, scq, sdn, *, m, k, kdim, gsize,
+                              signed) -> jax.Array:
+    n = x.shape[0]
+    g = k // gsize
+    bm = _gemv_block_m(m, kdim)
+    reps = g // sdn.shape[0]
+    kernel = functools.partial(
+        _gemv_kernel2n_nomin, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
+        signed=signed, reps=reps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sdn.shape[0], bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * n, bm // 2), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * n, m // 2), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * k,
+            bytes_accessed=codes.size + scq.size + sdn.size * 4
+            + n * k * 2 + n * m * 4,
+            transcendentals=0,
+        ),
+    )(codes, scq, sdn, x.astype(jnp.bfloat16))
+    return (
+        out.reshape(n, 2, m // bm, bm // 2)
+        .transpose(0, 2, 3, 1)
+        .reshape(n, m)
+    )
 
 
 def _gemv_kernel2n(codes_ref, stq_ref, mnq_ref, sd_ref, sdm_ref, x_ref,
@@ -840,6 +915,16 @@ def quant_matmul(
             return _quant_gemv2_native(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
+            )
+        if (
+            kind == "qk_nomin"
+            and "scq" in arrays
+            and arrays["scq"].shape == (g, m)
+        ):
+            # native no-min factors (Q6_K/Q3_K): ~9.6x less scale DMA
+            return _quant_gemv2_nomin_native(
+                x, codes, arrays["scq"], arrays["sdn"], m=m, k=k, kdim=kdim,
+                gsize=gsize, signed=codes.dtype == jnp.int8,
             )
         pre_st = arrays.get("st")
         pre_mnt = arrays.get("mnt")

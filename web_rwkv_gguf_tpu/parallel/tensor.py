@@ -153,7 +153,7 @@ def _col_shardable(m: Matrix, n: int) -> bool:
     return "lut" not in m.arrays and all(
         a.shape[-2] % n == 0
         for k, a in m.arrays.items()
-        if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm")
+        if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")
     )
 
 
@@ -174,7 +174,7 @@ def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
     # cannot ride the generic M-axis spec; drop them — the rebuilt f32
     # st/mnt operands serve the shard (native is a single-chip fast path)
     arrays = {k: a for k, a in m.arrays.items()
-              if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm")}
+              if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")}
     arrays.update(_reshard_gemv_arrays(m, n))
     out = {}
     for k, a in arrays.items():

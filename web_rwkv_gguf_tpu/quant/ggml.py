@@ -399,3 +399,46 @@ def quantize_q4_k(values: np.ndarray) -> bytes:
     out[:, 4:16] = scales
     out[:, 16:144] = qs
     return out.tobytes()
+
+
+def quantize_q6_k(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 256) to Q6_K super-blocks.
+
+    Simple absmax variant: per 16-element group compute a float scale,
+    8-bit quantize those against a per-super-block d (signs alternate on
+    every third group purely to exercise the signed-scale decode path).
+    Not llama.cpp's iterative fit, but a valid Q6_K encoding (dequant is
+    exact w.r.t. the stored bits).
+    """
+    v = np.asarray(values, np.float32).reshape(-1, QK_K)
+    n = v.shape[0]
+    groups = v.reshape(n, 16, 16)
+    s = np.abs(groups).max(axis=2) / 31.0  # per-group scale >= 0
+    sign = np.where(np.arange(16) % 3 == 2, -1.0, 1.0)[None, :]
+    s = s * sign
+    d = (np.abs(s).max(axis=1) / 127.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = np.where(ds > 0, 1.0 / np.where(ds > 0, ds, 1), 0.0)
+    sc8 = np.clip(np.round(s * inv_d[:, None]), -128, 127).astype(np.int8)
+    eff = ds[:, None] * sc8.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_e = np.where(eff != 0, 1.0 / np.where(eff != 0, eff, 1), 0.0)
+    q = np.clip(np.round(groups * inv_e[:, :, None]), -32, 31).astype(np.int8)
+
+    qb = (q.reshape(n, 256) + 32).astype(np.uint8)  # 0..63
+    half = qb.reshape(n, 2, 4, 32)  # [n, half, r, c]: e = 128h + 32r + c
+    lo4 = half & 0x0F
+    hi2 = half >> 4
+    ql = np.empty((n, 2, 64), np.uint8)
+    ql[:, :, 0:32] = lo4[:, :, 0] | (lo4[:, :, 2] << 4)
+    ql[:, :, 32:64] = lo4[:, :, 1] | (lo4[:, :, 3] << 4)
+    qh = (hi2[:, :, 0] | (hi2[:, :, 1] << 2) | (hi2[:, :, 2] << 4)
+          | (hi2[:, :, 3] << 6)).astype(np.uint8)
+
+    out = np.empty((n, 210), np.uint8)
+    out[:, 0:128] = ql.reshape(n, 128)
+    out[:, 128:192] = qh.reshape(n, 64)
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d[:, None].view(np.uint8)
+    return out.tobytes()

@@ -125,6 +125,24 @@ def repack_q6_k(raw, m: int, k: int):
     return codes.reshape(m, k), scales
 
 
+def q6k_scale_factors(raw, m: int, k: int):
+    """Exact native scale factorization for Q6_K: per-16-group signed
+    8-bit scale codes plus per-super-block f16 super-scales —
+    ``(sc i8 [M, K/16], d f32 [M, K/256])`` with
+    ``scales == d.repeat(16) * sc`` bit-exactly. None when super-blocks
+    straddle rows (k % 256 != 0). Q6_K has no separate mins: the gemv
+    offset fold is a scalar multiple of the scale, so streaming (sc, d)
+    replaces BOTH f32 operand arrays (~9.6x less scale DMA — Q6_K's
+    per-16 groups make its f32 operands 75% the size of its codes)."""
+    if k % 256:
+        return None
+    b = _blocks(raw, 210)
+    assert b.shape[0] * 256 == m * k
+    sc8 = b[:, 192:208].copy().view(np.int8)
+    d = _f16(b[:, 208:210]).astype(np.float32)
+    return sc8.reshape(m, k // 16), d.reshape(m, k // 256)
+
+
 def repack_q8_0(raw, m: int, k: int):
     """→ (codes i8 [M, K], scales f32 [M, K/32])."""
     b = _blocks(raw, 34)
@@ -182,6 +200,28 @@ def repack_q3_k(raw, m: int, k: int):
     codes = (lo + np.where(hbit != 0, 0, -4)).astype(np.int8).reshape(n, 256)
     scales = (d[:, None] * scales6).reshape(m, k // 16)
     return codes.reshape(m, k), scales
+
+
+def q3k_scale_factors(raw, m: int, k: int):
+    """Native scale factorization for Q3_K — same (sc i8 [M, K/16],
+    d f32 [M, K/256]) contract as :func:`q6k_scale_factors` (signed
+    6-bit scale codes, per-super-block f16 super-scale)."""
+    if k % 256:
+        return None
+    b = _blocks(raw, 110)
+    n = b.shape[0]
+    assert n * 256 == m * k
+    aux = b[:, 96:108].copy().view("<u4")
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = aux[:, 2].copy()
+    a0 = (aux[:, 0] & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    a1 = (aux[:, 1] & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    a2 = ((aux[:, 0] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    a3 = ((aux[:, 1] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    packed = np.stack([a0, a1, a2, a3], axis=1).copy().view(np.uint8)
+    sc = (packed.reshape(n, 16).astype(np.int16) - 32).astype(np.int8)
+    d = _f16(b[:, 108:110]).astype(np.float32)
+    return sc.reshape(m, k // 16), d.reshape(m, k // 256)
 
 
 def repack_q2_k(raw, m: int, k: int):
