@@ -181,3 +181,37 @@ def test_quantized_q8_load_close_to_f16():
     lq = np.asarray(logits_head(params_q, xq[:, -1]))
     # Q8_0 is near-lossless; logits should agree closely
     assert np.abs(lf - lq).mean() < 0.15, np.abs(lf - lq).mean()
+
+
+def test_quantized_q6k_q5k_load_close_to_f32():
+    """GGUF files written with the new Q6_K/Q5_K quantize targets load
+    through the direct-quantized path (with native scale factors) and
+    produce logits close to the f32 model."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    raw_f = fixtures.make_v7_gguf(seed=5, n_emb=256, head_size=64,
+                                  n_hidden=256, n_vocab=64)
+    xf = None
+    for q, kind in ((GgmlDType.Q6_K, "qk_nomin"), (GgmlDType.Q5_K, "qk_b")):
+        raw_q = fixtures.make_v7_gguf(
+            seed=5, n_emb=256, head_size=64, n_hidden=256, n_vocab=64,
+            quantize=q,
+        )
+        info_q, params_q = load_model(GgufFile(raw_q))
+        wk = params_q["blocks"]["att"]["Wk"]
+        assert wk.kind == kind
+        assert "stq" in wk.arrays or "scq" in wk.arrays  # native factors
+        tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+        lens = jnp.asarray([5], jnp.int32)
+        if xf is None:
+            info_f, params_f = load_model(GgufFile(raw_f))
+            x, _ = forward_chunk(info_f, params_f, init_state(info_f, 1),
+                                 tokens, lens)
+            xf = np.asarray(logits_head(params_f, x[:, -1]))
+        xq, _ = forward_chunk(info_q, params_q, init_state(info_q, 1),
+                              tokens, lens)
+        lq = np.asarray(logits_head(params_q, xq[:, -1]))
+        # thresholds reflect measured elementwise round-trip error of the
+        # simple encoders (q6k ~1.6%, q5k ~2.3%) compounded over 2 layers
+        limit = 0.6 if q == GgmlDType.Q6_K else 1.0
+        assert np.abs(xf - lq).mean() < limit, (q, np.abs(xf - lq).mean())

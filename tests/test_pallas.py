@@ -733,3 +733,117 @@ def test_layer_scan7_q6k_native(B):
                 np.asarray(s_n[kk]), np.asarray(s_f[kk]), rtol=1e-5,
                 atol=1e-4, err_msg=kk,
             )
+
+
+def test_native_scale_gemv_q5k():
+    """Q5_K byte-kind native factors (6-bit scale/min codes + super-
+    scales) vs the f32 product-operand gemv and the exact dense
+    reference — st = [s;16s] and off = dmin·mn + 272·s form in-kernel."""
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import quant_matmul
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType, quantize_q5_k
+
+    rng = np.random.default_rng(17)
+    m, k, n = 512, 512, 2
+    w = (rng.normal(size=(m, k)) * 0.05).astype(np.float32)
+    raw = np.frombuffer(quantize_q5_k(w.reshape(-1)), np.uint8)
+    mat = Matrix.from_gguf_blocks(GgmlDType.Q5_K, raw, (m, k))
+    assert mat.kind == "qk_b" and "stq" in mat.arrays
+
+    x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
+    y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
+    stripped = {kk: a for kk, a in mat.arrays.items()
+                if kk not in ("stq", "mnq", "sd", "sdm",
+                              "sc6", "mn6", "d8", "dm8")}
+    y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
+    np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
+                               rtol=1e-6, atol=3e-5)  # FMA-fusion rounding
+    dense = np.asarray(mat.dequantize(jnp.float32))
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y_native), ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref).max())
+
+
+def test_layer_scan7_q5k_native():
+    """Layer-scan kernel on a fully-Q5_K model: the byte-kind native form
+    must apply to every matrix and match the f32-operand kernel."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=256, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q5k",
+    )
+    mega = prep_decode7(params, info)
+    assert mega is not None
+    assert mega.static["native_tags"] == ("qkb",) * 4
+
+    def _strip(tree):
+        if isinstance(tree, Matrix):
+            return Matrix(tree.kind, tree.shape, {
+                kk: v for kk, v in tree.arrays.items()
+                if kk not in ("stq", "mnq", "sd", "sdm",
+                              "sc6", "mn6", "d8", "dm8")
+            })
+        if isinstance(tree, dict):
+            return {kk: _strip(v) for kk, v in tree.items()}
+        return tree
+
+    pf = dict(params)
+    pf["blocks"] = _strip(params["blocks"])
+    mega_f32 = prep_decode7(pf, info)
+    assert mega_f32.static["native_tags"] == (False,) * 4
+
+    B = 5  # wide strategy + native byte form together
+    s_n, s_f = init_state(info, B), init_state(info, B)
+    mask = jnp.ones((B,), jnp.float32)
+    for t in (3, 9):
+        tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 7 + t) % 64
+        x = embed_tokens(params, tok)[:, 0]
+        xo_n, s_n = layer_scan7(mega, s_n, x, mask, None,
+                                LN_EPS, GN_EPS, L2_EPS)
+        xo_f, s_f = layer_scan7(mega_f32, s_f, x, mask, None,
+                                LN_EPS, GN_EPS, L2_EPS)
+        np.testing.assert_allclose(np.asarray(xo_n), np.asarray(xo_f),
+                                   rtol=1e-5, atol=3e-4)
+        for kk in s_n:
+            np.testing.assert_allclose(
+                np.asarray(s_n[kk]), np.asarray(s_f[kk]), rtol=1e-5,
+                atol=3e-4, err_msg=kk,
+            )
+
+
+def test_native_scale_gemv_q2k():
+    """Q2_K byte-kind native factors (4-bit scale/min codes, per-16
+    groups) through the same qk_b native gemv as Q5_K."""
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import quant_matmul
+    from web_rwkv_gguf_tpu.quant import ggml as G
+
+    rng = np.random.default_rng(23)
+    m, k = 64, 512
+    nb = m * k // 256
+    raw = bytearray(rng.integers(0, 256, nb * 84, dtype=np.uint8).tobytes())
+    for b in range(nb):  # sane f16 d/dmin fields
+        for off in (80, 82):
+            raw[b * 84 + off : b * 84 + off + 2] = np.float16(
+                rng.uniform(0.001, 0.05)
+            ).tobytes()
+    mat = Matrix.from_gguf_blocks(G.GgmlDType.Q2_K, bytes(raw), (m, k))
+    assert mat.kind == "qk_b" and "stq" in mat.arrays
+    assert mat.arrays["sdn" if False else "sd"].shape == (k // 16 // 16, m)
+
+    x = jnp.asarray((rng.normal(size=(2, k)) * 0.5).astype(np.float32))
+    y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
+    stripped = {kk: a for kk, a in mat.arrays.items()
+                if kk not in ("stq", "mnq", "sd", "sdm",
+                              "sc6", "mn6", "d8", "dm8")}
+    y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
+    # FMA-fusion rounding scales with the offset-fold magnitude (random
+    # Q2_K blocks have large 272·s folds); tolerance relative to output
+    tol = 3e-5 * max(1.0, float(np.abs(np.asarray(y_f32)).max()))
+    np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
+                               rtol=1e-5, atol=tol)

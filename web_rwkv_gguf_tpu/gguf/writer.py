@@ -111,6 +111,16 @@ class GgufWriter:
         elif quantize == GgmlDType.Q4_K:
             ggml = GgmlDType.Q4_K
             data = quantize_q4_k(array.astype(np.float32).reshape(-1))
+        elif quantize == GgmlDType.Q5_K:
+            from ..quant.ggml import quantize_q5_k
+
+            ggml = GgmlDType.Q5_K
+            data = quantize_q5_k(array.astype(np.float32).reshape(-1))
+        elif quantize == GgmlDType.Q6_K:
+            from ..quant.ggml import quantize_q6_k
+
+            ggml = GgmlDType.Q6_K
+            data = quantize_q6_k(array.astype(np.float32).reshape(-1))
         else:
             raise UnsupportedTensorType(f"unsupported quantization target: {quantize!r}")
         self._tensors.append((name, dims_gguf, ggml, data))

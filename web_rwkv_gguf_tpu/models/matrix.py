@@ -108,6 +108,21 @@ def recompute_gemv_arrays(
     return {}
 
 
+def _native_b_arrays(factors, m, k) -> dict:
+    """Native byte-kind (qk_b) scale-factor arrays: tiled operands for
+    the gemv (shared stq/mnq/sd/sdm keys — the Matrix kind disambiguates
+    the form) plus the raw row-major factors for the layer-scan prep."""
+    from ..ops.pallas.matmul import build_gemv_operands_native
+
+    sc, mn, d, dmin = factors
+    arrays = dict(build_gemv_operands_native(sc, mn, d, dmin, m, k, k))
+    arrays.update({
+        "sc6": jnp.asarray(sc), "mn6": jnp.asarray(mn),
+        "d8": jnp.asarray(d), "dm8": jnp.asarray(dmin),
+    })
+    return arrays
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Matrix:
@@ -220,16 +235,16 @@ class Matrix:
             return cls("qk", (m, k), arrays)
         if dtype == GgmlDType.Q5_K:
             codes, scales, mins = repack.repack_q5_k(raw, m, k)
-            return cls(
-                "qk_b",  # byte codes (0..31), not nibble-packed
-                (m, k),
-                {
-                    "codes": jnp.asarray(codes),
-                    "scales": jnp.asarray(scales),
-                    "mins": jnp.asarray(mins),
-                    **_gemv_ops("qk_b", scales, mins, m, k, k, False),
-                },
-            )
+            arrays = {
+                "codes": jnp.asarray(codes),
+                "scales": jnp.asarray(scales),
+                "mins": jnp.asarray(mins),
+                **_gemv_ops("qk_b", scales, mins, m, k, k, False),
+            }
+            factors = repack.q5k_scale_factors(raw, m, k)
+            if factors is not None:
+                arrays.update(_native_b_arrays(factors, m, k))
+            return cls("qk_b", (m, k), arrays)
         if dtype == GgmlDType.Q6_K:
             codes, scales = repack.repack_q6_k(raw, m, k)
             arrays = {
@@ -279,16 +294,16 @@ class Matrix:
             return cls("qk_nomin", (m, k), arrays)
         if dtype == GgmlDType.Q2_K:
             codes, scales, mins = repack.repack_q2_k(raw, m, k)
-            return cls(
-                "qk_b",
-                (m, k),
-                {
-                    "codes": jnp.asarray(codes),
-                    "scales": jnp.asarray(scales),
-                    "mins": jnp.asarray(mins),
-                    **_gemv_ops("qk_b", scales, mins, m, k, k, False),
-                },
-            )
+            arrays = {
+                "codes": jnp.asarray(codes),
+                "scales": jnp.asarray(scales),
+                "mins": jnp.asarray(mins),
+                **_gemv_ops("qk_b", scales, mins, m, k, k, False),
+            }
+            factors = repack.q2k_scale_factors(raw, m, k)
+            if factors is not None:
+                arrays.update(_native_b_arrays(factors, m, k))
+            return cls("qk_b", (m, k), arrays)
         if dtype == GgmlDType.Q4_0:
             codes, scales = repack.repack_q4_0(raw, m, k)
             return cls(

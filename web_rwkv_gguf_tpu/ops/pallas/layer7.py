@@ -304,6 +304,16 @@ def _layer_scan_kernel(
             st = _expand_super(sel(sd_ref), 8) * qs
             off = _expand_super(sel(sdm_ref), 8) * qm + 16.0 * st
             return st, off
+        if native == "qkb":
+            _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
+            qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
+            qm = sel(mnq_ref).astype(jnp.int32).astype(jnp.float32)
+            sd = sel(sd_ref)
+            reps = qs.shape[0] // sd.shape[0]
+            s_lo = _expand_super(sd, reps) * qs
+            st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)
+            off = _expand_super(sel(sdm_ref), reps) * qm + 272.0 * s_lo
+            return st, off
         if isinstance(native, tuple) and native[0] == "nomin":
             _, scq_ref, sdn_ref = wrefs[tag]
             q = sel(scq_ref).astype(jnp.int32).astype(jnp.float32)
@@ -481,7 +491,7 @@ _QKINDS = ("qk", "qk_b", "qk_nomin", "int8")
 def _form_keys(prep: dict) -> tuple:
     """Operand key tuple for a _prep_matrix form (codes first)."""
     native = prep.get("native") if isinstance(prep, dict) else prep
-    if native == "qk":
+    if native in ("qk", "qkb"):
         return ("codes", "stq", "mnq", "sd", "sdm")
     if isinstance(native, tuple) and native and native[0] == "nomin":
         return ("codes", "scq", "sdn")
@@ -570,6 +580,19 @@ def _prep_matrix(mat) -> dict | None:
             "sdm": jnp.asarray(t(np.asarray(a["dm8"], np.float32))),
             "split": True,
             "native": "qk",
+        }
+
+    if mat.kind == "qk_b" and "sc6" in a:
+        # native byte-kind factors (Q5_K/Q2_K): st = [s;16s] and
+        # off = dmin·mn + 272·s form in-kernel (codes are unsigned)
+        return {
+            "codes": jnp.asarray(codes),
+            "stq": jnp.asarray(t(np.asarray(a["sc6"], np.uint8))),
+            "mnq": jnp.asarray(t(np.asarray(a["mn6"], np.uint8))),
+            "sd": jnp.asarray(t(np.asarray(a["d8"], np.float32))),
+            "sdm": jnp.asarray(t(np.asarray(a["dm8"], np.float32))),
+            "split": False,
+            "native": "qkb",
         }
 
     if mat.kind == "qk_nomin" and "q6s" in a:

@@ -380,6 +380,61 @@ def _gemv_kernel2n_nomin(codes_ref, scq_ref, sd_ref, x_ref, out_ref, *, n,
                 kdim=kdim, gsize=gsize, bm=bm, signed=signed)
 
 
+def _gemv_kernel2n_b(codes_ref, stq_ref, mnq_ref, sd_ref, sdm_ref, x_ref,
+                     out_ref, *, n, g, kdim, gsize, bm, reps):
+    """v2 gemv with native byte-kind (qk_b: Q5_K/Q2_K) scale factors:
+    st = [s;16s] and off = dmin·mn + 272·s form in-kernel from the
+    unsigned scale/min codes and super-scales (s = d·sc)."""
+    qs = stq_ref[:].astype(jnp.int32).astype(jnp.float32)  # [g, bm]
+    qm = mnq_ref[:].astype(jnp.int32).astype(jnp.float32)
+    s_lo = _expand_super(sd_ref[:], reps) * qs
+    st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)  # [2g, bm]
+    off = _expand_super(sdm_ref[:], reps) * qm + 272.0 * s_lo
+    _gemv2_body(codes_ref, st, off, x_ref, out_ref, split=False, n=n, g=g,
+                kdim=kdim, gsize=gsize, bm=bm, signed=False)
+
+
+def _quant_gemv2_b_native(x, codes, stq, mnq, sd, sdm, *, m, k, kdim,
+                          gsize) -> jax.Array:
+    n = x.shape[0]
+    g = k // gsize
+    bm = _gemv_block_m(m, kdim)
+    reps = g // sd.shape[0]
+    kernel = functools.partial(
+        _gemv_kernel2n_b, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm, reps=reps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sd.shape[0], bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sdm.shape[0], bm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * n, bm // 2), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * n, m // 2), jnp.float32),
+        interpret=config.interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * k,
+            bytes_accessed=codes.size + stq.size * 2 + sd.size * 8
+            + n * k * 2 + n * m * 4,
+            transcendentals=0,
+        ),
+    )(codes, stq, mnq, sd, sdm, x.astype(jnp.bfloat16))
+    return (
+        out.reshape(n, 2, m // bm, bm // 2)
+        .transpose(0, 2, 3, 1)
+        .reshape(n, m)
+    )
+
+
 def _quant_gemv2_nomin_native(x, codes, scq, sdn, *, m, k, kdim, gsize,
                               signed) -> jax.Array:
     n = x.shape[0]
@@ -913,6 +968,12 @@ def quant_matmul(
         if kind == "qk" and "stq" in arrays and arrays["stq"].shape == (g, m):
             # native scale factors: 2.7x less scale DMA, f32-exact
             return _quant_gemv2_native(
+                x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
+                arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
+            )
+        if kind == "qk_b" and "stq" in arrays and arrays["stq"].shape == (g, m):
+            # native byte-kind factors (Q5_K/Q2_K)
+            return _quant_gemv2_b_native(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
             )

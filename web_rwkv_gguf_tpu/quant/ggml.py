@@ -442,3 +442,57 @@ def quantize_q6_k(values: np.ndarray) -> bytes:
     out[:, 192:208] = sc8.view(np.uint8)
     out[:, 208:210] = d[:, None].view(np.uint8)
     return out.tobytes()
+
+
+def quantize_q5_k(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 256) to Q5_K super-blocks — the
+    Q4_K scheme (6-bit sub-scales/mins vs per-super d/dmin) with 5-bit
+    codes. Valid encoding; dequant exact w.r.t. stored bits."""
+    v = np.asarray(values, np.float32).reshape(-1, QK_K)
+    n = v.shape[0]
+    sub = v.reshape(n, 8, 32)
+    smin = np.minimum(sub.min(axis=2), 0.0)
+    smax = sub.max(axis=2)
+    scale = (smax - smin) / 31.0
+    neg_min = -smin
+    d = (scale.max(axis=1) / 63.0).astype(np.float32)
+    dmin = (neg_min.max(axis=1) / 63.0).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)
+        inv_m = np.where(dmin > 0, 1.0 / np.where(dmin > 0, dmin, 1), 0.0)
+    sc = np.clip(np.round(scale * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.round(neg_min * inv_m[:, None]), 0, 63).astype(np.uint8)
+
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    eff_scale = d16.astype(np.float32)[:, None] * sc
+    eff_min = dmin16.astype(np.float32)[:, None] * mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale > 0, eff_scale, 1), 0.0)
+    q = np.clip(np.round((sub + eff_min[:, :, None]) * inv_s[:, :, None]),
+                0, 31).astype(np.uint8)
+
+    scales = np.zeros((n, 12), np.uint8)
+    for j in range(4):
+        scales[:, j] = sc[:, j] | ((sc[:, j + 4] >> 4) << 6)
+        scales[:, j + 4] = mn[:, j] | ((mn[:, j + 4] >> 4) << 6)
+        scales[:, j + 8] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+
+    # element e = 64g + 32h + c (g super-sub pair, h lo/hi nibble, c col)
+    qe = q.reshape(n, 4, 2, 32)
+    lo4 = qe & 0x0F
+    hb = (qe >> 4).astype(np.uint8)  # 0/1 fifth bit
+    ql = (lo4[:, :, 0, :] | (lo4[:, :, 1, :] << 4)).reshape(n, 128)
+    j_idx = np.arange(8).reshape(4, 2)
+    qh = np.zeros((n, 32), np.uint8)
+    for g in range(4):
+        for h in range(2):
+            qh |= (hb[:, g, h, :] << j_idx[g, h]).astype(np.uint8)
+
+    out = np.empty((n, 176), np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8)
+    out[:, 2:4] = dmin16[:, None].view(np.uint8)
+    out[:, 4:16] = scales
+    out[:, 16:48] = qh
+    out[:, 48:176] = ql
+    return out.tobytes()

@@ -104,6 +104,44 @@ def repack_q5_k(raw, m: int, k: int):
     return codes.reshape(m, k), scales, mins
 
 
+def q5k_scale_factors(raw, m: int, k: int):
+    """Native scale factorization for Q5_K — same contract as
+    :func:`q4k_scale_factors` (6-bit scale/min codes + f16 super-scales,
+    per-32 groups, 8 per super-block), block size 176."""
+    if k % 256:
+        return None
+    b = _blocks(raw, 176)
+    assert b.shape[0] * 256 == m * k
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    dmin = _f16(b[:, 2:4]).astype(np.float32)
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    return (
+        sc.astype(np.uint8).reshape(m, k // 32),
+        mn.astype(np.uint8).reshape(m, k // 32),
+        d.reshape(m, k // 256),
+        dmin.reshape(m, k // 256),
+    )
+
+
+def q2k_scale_factors(raw, m: int, k: int):
+    """Native scale factorization for Q2_K: per-16-group 4-bit scale/min
+    codes (one byte each: lo nibble scale, hi nibble min) + f16
+    super-scales — (sc u8, mn u8 [M, K/16], d, dmin f32 [M, K/256])."""
+    if k % 256:
+        return None
+    b = _blocks(raw, 84)
+    assert b.shape[0] * 256 == m * k
+    scb = b[:, 0:16]
+    d = _f16(b[:, 80:82]).astype(np.float32)
+    dmin = _f16(b[:, 82:84]).astype(np.float32)
+    return (
+        (scb & 0x0F).reshape(m, k // 16),
+        (scb >> 4).reshape(m, k // 16),
+        d.reshape(m, k // 256),
+        dmin.reshape(m, k // 256),
+    )
+
+
 def repack_q6_k(raw, m: int, k: int):
     """→ (codes i8 [M, K] values -32..31, scales f32 [M, K/16])."""
     b = _blocks(raw, 210)

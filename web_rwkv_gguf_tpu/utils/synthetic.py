@@ -241,15 +241,17 @@ def synthetic_v7_params(
 
     def mat(*shape, scale=0.05):
         w = (rng.normal(size=shape) * scale).astype(np.float32)
-        if quant in ("q4k", "q8_0", "q6k"):
+        if quant in ("q4k", "q8_0", "q6k", "q5k"):
             from ..quant.ggml import (
-                GgmlDType, quantize_q4_k, quantize_q6_k, quantize_q8_0,
+                GgmlDType, quantize_q4_k, quantize_q5_k, quantize_q6_k,
+                quantize_q8_0,
             )
 
             qfn, qdt = {
                 "q4k": (quantize_q4_k, GgmlDType.Q4_K),
                 "q8_0": (quantize_q8_0, GgmlDType.Q8_0),
                 "q6k": (quantize_q6_k, GgmlDType.Q6_K),
+                "q5k": (quantize_q5_k, GgmlDType.Q5_K),
             }[quant]
             per = []
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
