@@ -197,6 +197,13 @@ def main():
         del params_qd
         del params_q
 
+        # true Q4_K_M placement (llama.cpp: Q6_K output head)
+        info, params_m = synthetic_v7_params(quant="q4km")
+        params_m = prepare_decode(params_m, info, batch_hint=1)
+        q4km_decode = _bench_decode(info, params_m)
+        log(f"decode  Q4_K_M (Q6_K head) b1:  {q4km_decode:.1f} tok/s")
+        del params_m
+
         info, params_d = synthetic_v7_params()
         params_d = prepare_decode(params_d, info, batch_hint=1)
         bf16_decode = _bench_decode(info, params_d)

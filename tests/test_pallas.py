@@ -20,8 +20,14 @@ from web_rwkv_gguf_tpu.quant import repack
 @pytest.fixture(autouse=True)
 def _interpret_mode():
     pcfg.interpret = True
+    # parity tests pin the double-bf16 (precise) wide path so tolerances
+    # stay at rounding scale; the plain-bf16 production default is
+    # covered by test_wide_plain_precision_bound
+    prec = pcfg.wide_precise
+    pcfg.wide_precise = True
     yield
     pcfg.interpret = False
+    pcfg.wide_precise = prec
 
 
 def test_wkv7_pallas_matches_xla():
@@ -505,7 +511,7 @@ def test_layer_scan7_matches_forward(quant, B, C):
     """Whole-stack decode kernel (one pallas_call, grid over layers) vs
     the composed forward_chunk path, over several carried decode steps —
     both nibble-split (Q4_K) and signed-byte (Q8_0) code kinds, both
-    in-kernel gemv strategies (batch 5 > _WIDE_BATCH exercises `wide`),
+    in-kernel gemv strategies (batch 5 > config.wide_batch exercises `wide`),
     and both scale-operand forms (f32 products / native factors)."""
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state
     from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
@@ -847,3 +853,32 @@ def test_native_scale_gemv_q2k():
     tol = 3e-5 * max(1.0, float(np.abs(np.asarray(y_f32)).max()))
     np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
                                rtol=1e-5, atol=tol)
+
+
+def test_wide_plain_precision_bound():
+    """The production default (wide_precise=False: dequantized weights
+    round to bf16) must stay within ~1% of the double-bf16 path — the
+    same precision class as the XLA fallback's bf16 dequant contraction."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q4k",
+    )
+    mega = prep_decode7(params, info)
+    B = 5
+    x = embed_tokens(params, jnp.ones((B, 1), jnp.int32) * 3)[:, 0]
+    mask = jnp.ones((B,), jnp.float32)
+    outs = {}
+    for prec in (True, False):
+        pcfg.wide_precise = prec
+        xo, _ = layer_scan7(mega, init_state(info, B), x, mask, None,
+                            LN_EPS, GN_EPS, L2_EPS)
+        outs[prec] = np.asarray(xo)
+    pcfg.wide_precise = True
+    scale = np.abs(outs[True]).max()
+    rel = np.abs(outs[False] - outs[True]).max() / scale
+    assert rel < 0.03, rel  # measured ~1.1% on this config

@@ -42,9 +42,8 @@ _VMEM_LIMIT = 100 << 20
 
 # largest decode batch routed through the layer-scan kernel; the `wide`
 # gemv strategy (scales expanded into the code planes, see _gemv_val)
-# keeps per-layer MXU work batch-independent above _WIDE_BATCH lanes
+# applies above config.wide_batch lanes
 MAX_SCAN_BATCH = 8
-_WIDE_BATCH = 2
 
 
 # ---------------------------------------------------------------------------
@@ -103,52 +102,70 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
     )
 
     if wide:
+        # Everything rides SINGLE-PASS bf16 MXU dots (an f32 matmul
+        # decomposes into ~6 passes and the f32 form of this path spent
+        # ~70 latency-bound dots per layer). Exactness is kept by
+        # DOUBLE-BF16 splitting: v = bf16(v) + bf16(v - bf16(v)) carries
+        # ~16 mantissa bits (error ~2^-16, far below the bf16-dequant
+        # rounding of the XLA fallback path). The group mask spans the
+        # FULL k so lo|hi planes contract in one dot against x as-is.
         f32 = jnp.float32
-        emask = gmask_bool.astype(f32)  # [gh, kdim] group-expansion mask
+        e2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (g, k), 1) // gsize
+            == jax.lax.broadcasted_iota(jnp.int32, (g, k), 0)
+        ).astype(jnp.bfloat16)  # [g, k] full-k expansion mask
+        xb = x.astype(jnp.bfloat16)
 
-        def sexp(rows):  # scales [gh, m'] -> k-expanded [m', kdim]
-            return jax.lax.dot_general(
-                rows, emask, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+        from . import config as _cfg
 
-        def mdot(xs, w_eff):  # [n, kdim] x [m', kdim] -> [n, m']
-            return jax.lax.dot_general(
-                xs, w_eff, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )
+        prec = _cfg.wide_precise
+
+        def sexp2(rows):  # scales [g, m'] -> k-expanded [m', k] (exact-ish)
+            hi = rows.astype(jnp.bfloat16)
+            dn = (((0,), (0,)), ((), ()))
+            out = jax.lax.dot_general(hi, e2, dimension_numbers=dn,
+                                      preferred_element_type=f32)
+            if prec:
+                lo = (rows - hi.astype(f32)).astype(jnp.bfloat16)
+                out = out + jax.lax.dot_general(
+                    lo, e2, dimension_numbers=dn, preferred_element_type=f32)
+            return out
+
+        def mdot2(w_eff):  # [n, k] x double-bf16([m', k]) -> [n, m']
+            hi = w_eff.astype(jnp.bfloat16)
+            dn = (((1,), (1,)), ((), ()))
+            out = jax.lax.dot_general(xb, hi, dimension_numbers=dn,
+                                      preferred_element_type=f32)
+            if prec:
+                lo = (w_eff - hi.astype(f32)).astype(jnp.bfloat16)
+                out = out + jax.lax.dot_general(
+                    xb, lo, dimension_numbers=dn, preferred_element_type=f32)
+            return out
 
         if split:
-            xlo = x[:, :kdim].astype(f32)
-            xhi = x[:, kdim:].astype(f32)
-            sx = jnp.concatenate([mdot(xlo, emask), mdot(xhi, emask)], axis=1)
-            y_a = (
-                mdot(xlo, pa_lo.astype(f32) * sexp(st[:gh, :m2]))
-                + mdot(xhi, pa_hi.astype(f32) * sexp(st[gh:, :m2]))
-            )
-            y_b = (
-                mdot(xlo, pb_lo.astype(f32) * sexp(st[:gh, m2:]))
-                + mdot(xhi, pb_hi.astype(f32) * sexp(st[gh:, m2:]))
-            )
+            # plane columns [lo | hi] line up with x's [first | second]
+            # half packing, so st rows 0..g already match e2's groups
+            pa = jnp.concatenate([pa_lo, pa_hi], axis=1).astype(f32)
+            pb = jnp.concatenate([pb_lo, pb_hi], axis=1).astype(f32)
+            s_rows = st
         else:
-            xf = x.astype(f32)
-            sx = mdot(xf, emask)  # [n, g]
-            # byte value u = 16·hi + lo; planes hold 16+nib, so
-            # lo + 16·hi planes give u + 272 — the 272·s (and any code
-            # offset) is already folded into ``off`` at prep time
-            y_a = mdot(xf, (pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32))
-                       * sexp(st[:g, :m2]))
-            y_b = mdot(xf, (pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32))
-                       * sexp(st[:g, m2:]))
+            # byte value u = 16·hi + lo; planes hold 16+nib, so lo+16·hi
+            # gives u + 272 — the 272·s fold is in ``off`` already
+            pa = pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32)
+            pb = pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32)
+            s_rows = st[:g]
+        y_a = mdot2(pa * sexp2(s_rows[:, :m2]))
+        y_b = mdot2(pb * sexp2(s_rows[:, m2:]))
 
-        def corr(cols):  # [n, g] @ [g, m'] offset correction
-            return jax.lax.dot_general(
-                sx, cols, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-
-        return jnp.concatenate([y_a - corr(off[:, :m2]),
-                                y_b - corr(off[:, m2:])], axis=-1)
+        sx = jax.lax.dot_general(
+            xb, e2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [n, g] group sums (e2 is 0/1: bf16-exact)
+        corr = jax.lax.dot_general(
+            sx, off, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [n, m] — off column order matches the y_a|y_b concat
+        return jnp.concatenate([y_a, y_b], axis=-1) - corr
 
     gmask = gmask_bool.astype(jnp.bfloat16)
 
@@ -221,27 +238,28 @@ def _head_masks(C, H, hs):
 
 
 def _to_heads(xc, m1, m2, B):
-    outs = []
-    for b in range(B):
-        t = m1 * xc[b : b + 1]  # [H, C]
-        outs.append(
-            jax.lax.dot_general(
-                t, m2, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[None]
-        )
-    return jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+    """[B, C] -> [B, H, hs] as ONE masked-dot pair for ALL lanes: the
+    per-lane Python loop this replaces cost ~100 small serialized dots
+    per layer at B=8. Leading-dim reshapes ([B, H, C] <-> [B*H, C]) are
+    Mosaic-legal; only the lane dim may not be reshaped."""
+    H, C = m1.shape
+    hs = m2.shape[1]
+    t = (xc[:, None, :] * m1[None]).reshape(B * H, C)
+    y = jax.lax.dot_general(
+        t, m2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B*H, hs]
+    return y.reshape(B, H, hs)
 
 
 def _from_heads(y, m1, m2, B):
-    outs = []
-    for b in range(B):
-        u = jax.lax.dot_general(
-            y[b], m2, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, C] = y[h, c%hs]
-        outs.append(jnp.sum(m1 * u, axis=0, keepdims=True))
-    return jnp.concatenate(outs, axis=0) if B > 1 else outs[0]
+    H, C = m1.shape
+    hs = m2.shape[1]
+    u = jax.lax.dot_general(
+        y.reshape(B * H, hs), m2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B*H, C] = y[b, h, c%hs]
+    return jnp.sum(u.reshape(B, H, C) * m1[None], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -779,7 +797,7 @@ def layer_scan7(
         native_tags=native_tags,
         lora_dims=s["lora_dims"],
         eps_ln=eps_ln, eps_gn=eps_gn, eps_l2=eps_l2,
-        wide=B > _WIDE_BATCH,
+        wide=B > config.wide_batch,
     )
 
     x_out, ash, fsh, wkv = pl.pallas_call(

@@ -612,13 +612,94 @@ def _quant_gemv2_native(x, codes, stq, mnq, sd, sdm, *, m, k, kdim,
     )
 
 
+def _gemv_kernel2w(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
+                   g, kdim, gsize, bm, signed):
+    """Wide-batch (n > ~2) v2 gemv: scales are EXPANDED ALONG K into the
+    packed bf16 code planes (one mask dot per output half) and each
+    batch row costs one single-pass bf16 dot — the group-expansion form's
+    MXU work scales with n·g and its per-lane reduction loop serializes;
+    this form is batch-independent per tile. Dequantized weights round
+    to bf16 (the XLA fallback's precision class; config.wide_precise in
+    the layer-scan kernel documents the tradeoff)."""
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)
+    if signed:
+        w = w ^ jnp.int32(-2139062144)  # +128 per byte
+    c0 = jnp.int32(0x41804180)
+    mk = jnp.int32(0x000F000F)
+    pa_lo = pltpu.bitcast(c0 | ((w & mk) << 3), jnp.bfloat16)
+    pb_lo = pltpu.bitcast(c0 | (((w >> 8) & mk) << 3), jnp.bfloat16)
+    pa_hi = pltpu.bitcast(c0 | (((w >> 4) & mk) << 3), jnp.bfloat16)
+    pb_hi = pltpu.bitcast(c0 | (((w >> 12) & mk) << 3), jnp.bfloat16)
+
+    f32 = jnp.float32
+    k_full = kdim * 2 if split else kdim
+    e2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (g, k_full), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (g, k_full), 0)
+    ).astype(jnp.bfloat16)
+    xb = x_ref[:]  # [n, k] bf16
+
+    prec = config.wide_precise
+
+    def sexp(rows):  # [g, bm/2] -> [bm/2, k] k-expanded scales
+        rows = rows.astype(f32)
+        hi = rows.astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        out = jax.lax.dot_general(hi, e2, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        if prec:  # double-bf16 correction (see config.wide_precise)
+            lo = (rows - hi.astype(f32)).astype(jnp.bfloat16)
+            out = out + jax.lax.dot_general(lo, e2, dimension_numbers=dn,
+                                            preferred_element_type=f32)
+        return out
+
+    h = bm // 2
+    if split:
+        pa = jnp.concatenate([pa_lo, pa_hi], axis=1)  # [bm/2, k]
+        pb = jnp.concatenate([pb_lo, pb_hi], axis=1)
+        s_rows = st_ref[:]
+    else:
+        pa = (pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32)).astype(jnp.bfloat16)
+        pb = (pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32)).astype(jnp.bfloat16)
+        s_rows = st_ref[:g]
+
+    def mdot(planes, s_exp):
+        w_eff = planes.astype(f32) * s_exp
+        hi = w_eff.astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        out = jax.lax.dot_general(xb, hi, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        if prec:
+            lo = (w_eff - hi.astype(f32)).astype(jnp.bfloat16)
+            out = out + jax.lax.dot_general(xb, lo, dimension_numbers=dn,
+                                            preferred_element_type=f32)
+        return out
+
+    y_a = mdot(pa, sexp(s_rows[:, :h]))  # [n, bm/2] (tile's even rows)
+    y_b = mdot(pb, sexp(s_rows[:, h:]))
+    sx = jax.lax.dot_general(
+        xb, e2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [n, g]
+    corr = jax.lax.dot_general(
+        sx, off_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [n, bm] columns [evens|odds]
+    y_a = y_a - corr[:, :h]
+    y_b = y_b - corr[:, h:]
+    for nn in range(n):  # interleaved output rows, same order as kernel2
+        out_ref[2 * nn : 2 * nn + 1, :] = y_a[nn : nn + 1]
+        out_ref[2 * nn + 1 : 2 * nn + 2, :] = y_b[nn : nn + 1]
+
+
 def _quant_gemv2(x, codes, st, mnt, *, split, signed, m, k, kdim,
                  gsize) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
     bm = _gemv_block_m(m, kdim)
+    kfn = _gemv_kernel2w if n > config.wide_batch else _gemv_kernel2
     kernel = functools.partial(
-        _gemv_kernel2, split=split, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
+        kfn, split=split, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
         signed=signed,
     )
     gs_rows = st.shape[0]
@@ -965,20 +1046,33 @@ def quant_matmul(
         and (kind not in ("qk", "nf4") or g % 2 == 0)
         and n * g * kdim * 2 <= (4 << 20)
     ):
-        if kind == "qk" and "stq" in arrays and arrays["stq"].shape == (g, m):
+        # native scale-factor paths run the per-group (narrow) reduction —
+        # wider batches route to the k-expanded wide kernel below, whose
+        # f32 st/mnt operands cost more DMA but whose per-tile work is
+        # batch-independent (the narrow form's MXU work scales with n·g
+        # and its per-lane reduction loop serializes)
+        narrow = n <= config.wide_batch
+        if (
+            narrow and kind == "qk" and "stq" in arrays
+            and arrays["stq"].shape == (g, m)
+        ):
             # native scale factors: 2.7x less scale DMA, f32-exact
             return _quant_gemv2_native(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
             )
-        if kind == "qk_b" and "stq" in arrays and arrays["stq"].shape == (g, m):
+        if (
+            narrow and kind == "qk_b" and "stq" in arrays
+            and arrays["stq"].shape == (g, m)
+        ):
             # native byte-kind factors (Q5_K/Q2_K)
             return _quant_gemv2_b_native(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
             )
         if (
-            kind == "qk_nomin"
+            narrow
+            and kind == "qk_nomin"
             and "scq" in arrays
             and arrays["scq"].shape == (g, m)
         ):

@@ -239,9 +239,12 @@ def synthetic_v7_params(
     def r(*shape, scale=0.5):
         return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32))
 
-    def mat(*shape, scale=0.05):
+    def mat(*shape, scale=0.05, fmt=None):
         w = (rng.normal(size=shape) * scale).astype(np.float32)
-        if quant in ("q4k", "q8_0", "q6k", "q5k"):
+        # "q4km" mirrors llama.cpp's Q4_K_M placement: Q4_K layer
+        # matrices, Q6_K output head (passed via fmt at the call sites)
+        fmt = fmt or ("q4k" if quant == "q4km" else quant)
+        if fmt in ("q4k", "q8_0", "q6k", "q5k"):
             from ..quant.ggml import (
                 GgmlDType, quantize_q4_k, quantize_q5_k, quantize_q6_k,
                 quantize_q8_0,
@@ -252,7 +255,7 @@ def synthetic_v7_params(
                 "q8_0": (quantize_q8_0, GgmlDType.Q8_0),
                 "q6k": (quantize_q6_k, GgmlDType.Q6_K),
                 "q5k": (quantize_q5_k, GgmlDType.Q5_K),
-            }[quant]
+            }[fmt]
             per = []
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
             for wi in w2:
@@ -274,7 +277,7 @@ def synthetic_v7_params(
         "emb": jnp.asarray((rng.normal(size=(n_vocab, C)) * 0.3).astype(np.float16)),
         "ln0": {"w": 1.0 + r(C, scale=0.02), "b": r(C, scale=0.02)},
         "ln_out": {"w": 1.0 + r(C, scale=0.02), "b": r(C, scale=0.02)},
-        "head": mat(n_vocab, C),
+        "head": mat(n_vocab, C, fmt="q6k" if quant == "q4km" else None),
         "blocks": {
             "ln1": ln(),
             "ln2": ln(),
