@@ -197,19 +197,20 @@ def main():
         del params_qd
         del params_q
 
-        # true Q4_K_M placement (llama.cpp: Q6_K output head)
-        info, params_m = synthetic_v7_params(quant="q4km")
-        params_m = prepare_decode(params_m, info, batch_hint=1)
-        q4km_decode = _bench_decode(info, params_m)
-        log(f"decode  Q4_K_M (Q6_K head) b1:  {q4km_decode:.1f} tok/s")
-        del params_m
-
         info, params_d = synthetic_v7_params()
         params_d = prepare_decode(params_d, info, batch_hint=1)
         bf16_decode = _bench_decode(info, params_d)
         log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
         bf16_prefill = _bench_prefill(info, params_d)
         log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
+        del params_d
+
+        # true Q4_K_M placement (llama.cpp: Q6_K output head) — last so a
+        # slow model build cannot starve the extras above
+        info, params_m = synthetic_v7_params(quant="q4km")
+        params_m = prepare_decode(params_m, info, batch_hint=1)
+        q4km_decode = _bench_decode(info, params_m)
+        log(f"decode  Q4_K_M (Q6_K head) b1:  {q4km_decode:.1f} tok/s")
     except Exception as e:  # pragma: no cover
         log(f"[extras skipped: {e}]")
     finally:
