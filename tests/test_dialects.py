@@ -1,0 +1,278 @@
+"""Real-dialect GGUF checkpoint fixtures: the same V7 weight set written
+in each of the three naming dialects the reference's name map serves
+(ref: src/runtime/gguf.rs:1173-1329), generated to llama.cpp converter
+conventions (ref: assets/scripts/convert_hf_to_gguf.py:595-634 — fused
+lerp stacking, LoRA transposes, flattened r_k, dummy v0/v1/v2 on layer
+0, arch-prefixed metadata). Loaded models must produce identical logits,
+and a ppl smoke run pins the FULL-output eval path.
+
+The synthetic fixtures (utils/synthetic.py) cover shapes; these pin the
+naming/metadata quirks of real converter output end-to-end (the
+reference analogue is examples/test_gguf_shapes.rs:1-111 against an
+actual checkpoint)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from web_rwkv_gguf_tpu.gguf import GgufFile, GgufWriter
+from web_rwkv_gguf_tpu.models import (
+    ModelVersion,
+    forward_chunk,
+    init_state,
+    load_model,
+    logits_head,
+)
+
+L, C, HS, V, HID, R = 2, 32, 8, 48, 128, 8
+
+
+def _weights(seed=17):
+    rng = np.random.default_rng(seed)
+
+    def r(*shape, scale=0.4):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    w = {
+        "emb": r(V, C, scale=0.3),
+        "ln0": (1.0 + r(C, scale=0.05), r(C, scale=0.05)),
+        "ln_out": (1.0 + r(C, scale=0.05), r(C, scale=0.05)),
+        "head": r(V, C, scale=0.1),
+    }
+    for i in range(L):
+        blk = {
+            "ln1": (1.0 + r(C, scale=0.05), r(C, scale=0.05)),
+            "ln2": (1.0 + r(C, scale=0.05), r(C, scale=0.05)),
+            "gn": (1.0 + r(C, scale=0.05), r(C, scale=0.05)),
+            "lerps": r(6, C, scale=0.3),  # x_r, x_w, x_k, x_v, x_a, x_g
+            "w0": r(C), "w1": r(R, C, scale=0.05), "w2": r(C, R, scale=0.05),
+            "a0": r(C), "a1": r(R, C, scale=0.05), "a2": r(C, R, scale=0.05),
+            "g1": r(R, C, scale=0.05), "g2": r(C, R, scale=0.05),
+            "r_k": r(C // HS, HS), "k_k": r(C), "k_a": r(C),
+            "Wk": r(C, C, scale=0.08), "Wv": r(C, C, scale=0.08),
+            "Wr": r(C, C, scale=0.08), "Wo": r(C, C, scale=0.08),
+            "fxk": r(C, scale=0.3),
+            "fWk": r(HID, C, scale=0.08), "fWv": r(C, HID, scale=0.08),
+        }
+        if i > 0:
+            blk.update({"v0": r(C), "v1": r(R, C, scale=0.05),
+                        "v2": r(C, R, scale=0.05)})
+        w[f"blk{i}"] = blk
+    return w
+
+
+def _common(w: dict, writer: GgufWriter):
+    writer.add_metadata("general.architecture", "rwkv7")
+    writer.add_metadata("rwkv7.wkv.head_size", HS)
+    writer.add_tensor("token_embd.weight", w["emb"])
+    writer.add_tensor("token_embd_norm.weight", w["ln0"][0])
+    writer.add_tensor("token_embd_norm.bias", w["ln0"][1])
+    writer.add_tensor("output_norm.weight", w["ln_out"][0])
+    writer.add_tensor("output_norm.bias", w["ln_out"][1])
+    writer.add_tensor("output.weight", w["head"])
+
+
+def make_llamacpp_dialect(w: dict) -> bytes:
+    """``time_mix_*`` names, fused lerp, flattened r_k, dummy v on layer
+    0 (a copy of the a tensors), llama.cpp metadata keys."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    g = GgufWriter()
+    _common(w, g)
+    # converter metadata (convert_hf_to_gguf.py:566-580)
+    g.add_metadata("rwkv7.context_length", 1048576)
+    g.add_metadata("rwkv7.embedding_length", C)
+    g.add_metadata("rwkv7.block_count", L)
+    g.add_metadata("rwkv7.feed_forward_length", HID)
+    g.add_metadata("rwkv7.attention.decay_lora_rank", R)
+    g.add_metadata("rwkv7.attention.iclr_lora_rank", R)
+    g.add_metadata("rwkv7.attention.value_residual_mix_lora_rank", R)
+    g.add_metadata("rwkv7.attention.gate_lora_rank", R)
+    g.add_metadata("rwkv7.attention.head_count", 0)
+    for i in range(L):
+        b = w[f"blk{i}"]
+        p = f"blk.{i}"
+        g.add_tensor(f"{p}.attn_norm.weight", b["ln1"][0])
+        g.add_tensor(f"{p}.attn_norm.bias", b["ln1"][1])
+        g.add_tensor(f"{p}.attn_norm_2.weight", b["ln2"][0])
+        g.add_tensor(f"{p}.attn_norm_2.bias", b["ln2"][1])
+        # fused lerp: on-disk dims [emb, 1, 1, 6], six contiguous vectors
+        g.add_raw_tensor(
+            f"{p}.time_mix_lerp_fused.weight", (C, 1, 1, 6),
+            GgmlDType.F32, np.ascontiguousarray(b["lerps"]).tobytes(),
+        )
+        for nm in ("w0", "w1", "w2", "a0", "a1", "a2", "g1", "g2"):
+            g.add_tensor(f"{p}.time_mix_{nm}.weight", b[nm])
+        if i == 0:
+            # dummy v0/v1/v2 = the a tensors (converter quirk,
+            # convert_hf_to_gguf.py:630-634); the loader must ignore them
+            g.add_tensor(f"{p}.time_mix_v0.weight", b["a0"])
+            g.add_tensor(f"{p}.time_mix_v1.weight", b["a1"])
+            g.add_tensor(f"{p}.time_mix_v2.weight", b["a2"])
+        else:
+            for nm in ("v0", "v1", "v2"):
+                g.add_tensor(f"{p}.time_mix_{nm}.weight", b[nm])
+        g.add_tensor(f"{p}.time_mix_r_k.weight", b["r_k"].reshape(-1))
+        g.add_tensor(f"{p}.time_mix_k_k.weight", b["k_k"])
+        g.add_tensor(f"{p}.time_mix_k_a.weight", b["k_a"])
+        g.add_tensor(f"{p}.time_mix_ln.weight", b["gn"][0])
+        g.add_tensor(f"{p}.time_mix_ln.bias", b["gn"][1])
+        g.add_tensor(f"{p}.time_mix_key.weight", b["Wk"])
+        g.add_tensor(f"{p}.time_mix_value.weight", b["Wv"])
+        g.add_tensor(f"{p}.time_mix_receptance.weight", b["Wr"])
+        g.add_tensor(f"{p}.time_mix_output.weight", b["Wo"])
+        g.add_tensor(f"{p}.channel_mix_lerp_k.weight", b["fxk"])
+        g.add_tensor(f"{p}.channel_mix_key.weight", b["fWk"])
+        g.add_tensor(f"{p}.channel_mix_value.weight", b["fWv"])
+    return g.tobytes()
+
+
+def _make_prefixed(w: dict, pre: str) -> bytes:
+    """``attn_*`` / ``att_*`` dialects: separate lerp vectors, short
+    (extension-less) adapter names (gguf.rs:1278-1326)."""
+    g = GgufWriter()
+    _common(w, g)
+    for i in range(L):
+        b = w[f"blk{i}"]
+        p = f"blk.{i}"
+        g.add_tensor(f"{p}.attn_norm.weight", b["ln1"][0])
+        g.add_tensor(f"{p}.attn_norm.bias", b["ln1"][1])
+        g.add_tensor(f"{p}.ffn_norm.weight", b["ln2"][0])
+        g.add_tensor(f"{p}.ffn_norm.bias", b["ln2"][1])
+        for s, row in zip("rwkvag", b["lerps"]):
+            g.add_tensor(f"{p}.{pre}_x_{s}", row)
+        for nm in ("w0", "w1", "w2", "a0", "a1", "a2", "g1", "g2"):
+            g.add_tensor(f"{p}.{pre}_{nm}", b[nm])
+        if i > 0:
+            for nm in ("v0", "v1", "v2"):
+                g.add_tensor(f"{p}.{pre}_{nm}", b[nm])
+        g.add_tensor(f"{p}.{pre}_r_k", b["r_k"])
+        g.add_tensor(f"{p}.{pre}_k_k", b["k_k"])
+        g.add_tensor(f"{p}.{pre}_k_a", b["k_a"])
+        g.add_tensor(f"{p}.attn_ln_x.weight", b["gn"][0])
+        g.add_tensor(f"{p}.attn_ln_x.bias", b["gn"][1])
+        g.add_tensor(f"{p}.attn_k.weight", b["Wk"])
+        g.add_tensor(f"{p}.attn_v.weight", b["Wv"])
+        g.add_tensor(f"{p}.attn_r.weight", b["Wr"])
+        g.add_tensor(f"{p}.attn_output.weight", b["Wo"])
+        g.add_tensor(f"{p}.ffn_x_k", b["fxk"])
+        g.add_tensor(f"{p}.ffn_k.weight", b["fWk"])
+        g.add_tensor(f"{p}.ffn_v.weight", b["fWv"])
+    return g.tobytes()
+
+
+@pytest.fixture(scope="module")
+def dialect_files():
+    w = _weights()
+    return {
+        "llamacpp": make_llamacpp_dialect(w),
+        "attn": _make_prefixed(w, "attn"),
+        "att": _make_prefixed(w, "att"),
+    }
+
+
+def test_dialects_load_identically(dialect_files):
+    """All three naming dialects resolve to the same model: identical
+    version/dims and bit-identical logits (all tensors stored F32)."""
+    toks = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
+    lens = jnp.asarray([6], jnp.int32)
+    logits = {}
+    for name, raw in dialect_files.items():
+        f = GgufFile(raw)
+        info, params = load_model(f)
+        assert info.version == ModelVersion.V7, name
+        assert info.num_layer == L and info.num_emb == C, name
+        assert info.num_head == C // HS and info.num_hidden == HID, name
+        x, _ = forward_chunk(info, params, init_state(info, 1), toks, lens)
+        logits[name] = np.asarray(logits_head(params, x[:, -1]))
+        assert np.isfinite(logits[name]).all(), name
+
+    np.testing.assert_array_equal(logits["llamacpp"], logits["attn"])
+    np.testing.assert_array_equal(logits["llamacpp"], logits["att"])
+
+
+def test_llamacpp_dialect_quirks(dialect_files):
+    """Pins the converter-specific behaviors: virtual fused-lerp slices,
+    metadata-driven r_k reshape, and the dummy layer-0 v tensors being
+    present but ignored."""
+    f = GgufFile(dialect_files["llamacpp"])
+    w = _weights()
+    # fused lerp serves the six virtual x_* names as slices
+    for j, s in enumerate("rwkvag"):
+        np.testing.assert_array_equal(
+            f.tensor(f"blocks.0.att.x_{s}", np.float32), w["blk0"]["lerps"][j]
+        )
+    # r_k stored flat, reshaped from rwkv7.wkv.head_size metadata
+    assert f.shape("blocks.1.att.r_k") == (C // HS, HS)
+    np.testing.assert_array_equal(
+        f.tensor("blocks.1.att.r_k", np.float32), w["blk1"]["r_k"]
+    )
+    # dummy v tensors exist in the file...
+    assert f.contains("blocks.0.att.v0")
+    # ...but layer 0 computes the value-residual identity regardless:
+    # drop them and the logits must not change
+    raw2 = make_llamacpp_dialect_no_dummy(w)
+    info_a, params_a = load_model(GgufFile(dialect_files["llamacpp"]))
+    info_b, params_b = load_model(GgufFile(raw2))
+    toks = jnp.asarray([[3, 1, 4]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    xa, _ = forward_chunk(info_a, params_a, init_state(info_a, 1), toks, lens)
+    xb, _ = forward_chunk(info_b, params_b, init_state(info_b, 1), toks, lens)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def make_llamacpp_dialect_no_dummy(w: dict) -> bytes:
+    """Variant without the layer-0 dummy v tensors (pre-quirk files)."""
+    raw = make_llamacpp_dialect(w)
+    # simplest honest rebuild: rewrite via the writer path minus dummies
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    g = GgufWriter()
+    _common(w, g)
+    g.add_metadata("rwkv7.wkv.head_size", HS)
+    for i in range(L):
+        b = w[f"blk{i}"]
+        p = f"blk.{i}"
+        g.add_tensor(f"{p}.attn_norm.weight", b["ln1"][0])
+        g.add_tensor(f"{p}.attn_norm.bias", b["ln1"][1])
+        g.add_tensor(f"{p}.attn_norm_2.weight", b["ln2"][0])
+        g.add_tensor(f"{p}.attn_norm_2.bias", b["ln2"][1])
+        g.add_raw_tensor(
+            f"{p}.time_mix_lerp_fused.weight", (C, 1, 1, 6),
+            GgmlDType.F32, np.ascontiguousarray(b["lerps"]).tobytes(),
+        )
+        for nm in ("w0", "w1", "w2", "a0", "a1", "a2", "g1", "g2"):
+            g.add_tensor(f"{p}.time_mix_{nm}.weight", b[nm])
+        if i > 0:
+            for nm in ("v0", "v1", "v2"):
+                g.add_tensor(f"{p}.time_mix_{nm}.weight", b[nm])
+        g.add_tensor(f"{p}.time_mix_r_k.weight", b["r_k"].reshape(-1))
+        g.add_tensor(f"{p}.time_mix_k_k.weight", b["k_k"])
+        g.add_tensor(f"{p}.time_mix_k_a.weight", b["k_a"])
+        g.add_tensor(f"{p}.time_mix_ln.weight", b["gn"][0])
+        g.add_tensor(f"{p}.time_mix_ln.bias", b["gn"][1])
+        g.add_tensor(f"{p}.time_mix_key.weight", b["Wk"])
+        g.add_tensor(f"{p}.time_mix_value.weight", b["Wv"])
+        g.add_tensor(f"{p}.time_mix_receptance.weight", b["Wr"])
+        g.add_tensor(f"{p}.time_mix_output.weight", b["Wo"])
+        g.add_tensor(f"{p}.channel_mix_lerp_k.weight", b["fxk"])
+        g.add_tensor(f"{p}.channel_mix_key.weight", b["fWk"])
+        g.add_tensor(f"{p}.channel_mix_value.weight", b["fWv"])
+    return g.tobytes()
+
+
+def test_dialect_ppl_smoke(dialect_files, tmp_path):
+    """Perplexity eval (FULL-output path) runs on a real-dialect file and
+    yields a finite, seed-stable value (apps/ppl.py)."""
+    from web_rwkv_gguf_tpu.apps.ppl import evaluate_ppl
+
+    class ByteTok:
+        def encode(self, text):
+            return [b % V for b in text.encode()]
+
+    info, params = load_model(GgufFile(dialect_files["llamacpp"]))
+    ppl, nll, n = evaluate_ppl(
+        info, params, ByteTok(), "the quick brown fox jumps over the dog",
+        chunk=16,
+    )
+    assert n >= 30 and np.isfinite(ppl) and ppl > 1.0

@@ -338,6 +338,25 @@ def test_on_device_nucleus_sampler():
     assert abs(freq0 - 0.4 / 0.7) < 0.05  # renormalized within nucleus
 
 
+def test_sampler_small_vocab_clamps_candidates():
+    """Vocab smaller than top_p_candidates (default 128) / top_k must not
+    crash lax.top_k — candidates clamp to the vocab size."""
+    import jax
+    import jax.numpy as jnp
+
+    from web_rwkv_gguf_tpu.models.generate import make_sampler
+
+    logits = jnp.asarray(np.log([0.5, 0.3, 0.2]))[None, :]  # vocab 3
+    key = jax.random.key(1)
+    for kwargs in (
+        {"temperature": 1.0, "top_p": 0.9},          # nucleus, cand 128 > 3
+        {"temperature": 1.0, "top_k": 50},           # plain top_k > vocab
+        {"temperature": 1.0, "top_p": 0.9, "top_k": 50},
+    ):
+        tok = np.asarray(make_sampler(**kwargs)(logits, key))
+        assert tok.shape == (1,) and 0 <= tok[0] < 3
+
+
 def test_fused_generator_stop_token_freezes_lane():
     """A lane that samples a stop id re-emits it, reports done, and its
     recurrent state stays frozen at the stop step (bit-identical to a
@@ -389,3 +408,24 @@ def test_engine_generate_stop_early_exit(model):
     out = eng2.generate([[1, 2, 3]], 48, stop_tokens={stop}, segment=4)
     first = base[0].index(stop)
     assert out[0] == base[0][: first + 1]
+
+
+def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a disk cache (idempotent,
+    env-disable honored) so warm restarts skip the 5-7 s decode compile."""
+    import importlib
+    import jax
+
+    from web_rwkv_gguf_tpu.utils import compile_cache as cc
+
+    importlib.reload(cc)
+    monkeypatch.setenv("WEB_RWKV_TPU_CACHE", str(tmp_path / "c"))
+    p = cc.enable_compilation_cache()
+    assert p == str(tmp_path / "c")
+    assert jax.config.jax_compilation_cache_dir == p
+    # idempotent: second call returns the active dir, no reconfig
+    assert cc.enable_compilation_cache("/elsewhere") == p
+
+    importlib.reload(cc)
+    monkeypatch.setenv("WEB_RWKV_TPU_CACHE", "0")
+    assert cc.enable_compilation_cache() is None

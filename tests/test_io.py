@@ -96,3 +96,18 @@ def test_safetensors_reader_model(tmp_path):
     xg, _ = forward_chunk(info_g, params_g, init_state(info_g, 1), tokens, lens)
     xs, _ = forward_chunk(info_s, params_s, init_state(info_s, 1), tokens, lens)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xg), rtol=2e-3, atol=2e-3)
+
+
+def test_safetensors_bf16_reader(tmp_path):
+    """BF16 .st checkpoints load (converted on read, like the reference's
+    F32/BF16→F16 at load, ref: loader.rs:104-132)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(4, 8)).astype(np.float32)
+    path = tmp_path / "bf16.st"
+    write_safetensors(path, {"w": a.astype(ml_dtypes.bfloat16)})
+    st = SafetensorsFile(path)
+    got = st.tensor("w", np.float32)
+    np.testing.assert_allclose(got, a, rtol=8e-3, atol=8e-3)  # bf16 rounding
+    assert st.shape("w") == (4, 8)

@@ -69,7 +69,21 @@ _WORKER = textwrap.dedent(
     info, params = load_model(
         GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8, n_vocab=64))
     )
-    eng = DistributedEngine(info, params, num_batch=2, token_chunk_size=32)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "gspmd"
+    if mode == "shard_map":
+        # Pallas-safe TP across the cluster: model axis = the 2 local
+        # devices of each process, data axis = the 2 processes (DCN)
+        from web_rwkv_gguf_tpu.parallel import make_mesh
+        from web_rwkv_gguf_tpu.parallel.tensor import shard_params_tp
+
+        mesh = make_mesh(2, 2)
+        params = shard_params_tp(params, mesh, info)
+        eng = DistributedEngine(
+            info, params, num_batch=2, token_chunk_size=32, mesh=mesh,
+            tp_mode="shard_map",
+        )
+    else:
+        eng = DistributedEngine(info, params, num_batch=2, token_chunk_size=32)
     {scenario}
     if eng.is_coordinator:
         emb_row = np.asarray(params["emb"], np.float32)[11]
@@ -85,11 +99,14 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_distributed_engine(tmp_path):
+@pytest.mark.parametrize("mode", ["gspmd", "shard_map"])
+def test_two_process_distributed_engine(tmp_path, mode):
     """Two real processes over DCN: mixed LAST/FULL options, a lane swap
     mid-stream (state reset broadcast in-band), a Token::Embed input, and
     in-band worker shutdown — the coordinator's outputs must match a
-    single-process Engine run of the same scenario."""
+    single-process Engine run of the same scenario. ``shard_map`` drives
+    the Pallas-safe TP forward (model axis = intra-process devices, data
+    axis = processes over DCN)."""
     repo = str(Path(__file__).resolve().parent.parent)
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER.format(repo=repo, scenario=_SCENARIO))
@@ -97,7 +114,7 @@ def test_two_process_distributed_engine(tmp_path):
     env = dict(os.environ)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i)],
+            [sys.executable, str(worker), str(i), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for i in range(2)

@@ -30,6 +30,24 @@ def _interpret_mode():
     pcfg.wide_precise = prec
 
 
+
+def _f32_operand_arrays(kind, arrays):
+    """Drop every native scale-factor key, restoring the f32 scale
+    products first (slimmed direct loads no longer store them) so the
+    stripped dict drives the f32-operand kernels."""
+    from web_rwkv_gguf_tpu.models.matrix import scale_products
+
+    out = {kk: a for kk, a in arrays.items()
+           if kk not in ("stq", "mnq", "sd", "sdm", "sc6", "mn6", "d8",
+                         "dm8", "scq", "sdn", "q6s", "q6d")}
+    if "scales" not in out:
+        sp, mnp = scale_products(kind, arrays)
+        out["scales"] = sp
+        if mnp is not None:
+            out["mins"] = mnp
+    return out
+
+
 def test_wkv7_pallas_matches_xla():
     rng = np.random.default_rng(0)
     B, T, H, K = 2, 5, 3, 8
@@ -531,11 +549,22 @@ def test_layer_scan7_matches_forward(quant, B, C):
         # native path must match it ~exactly (same math, FMA rounding)
         def _strip(tree):
             if isinstance(tree, Matrix):
-                return Matrix(tree.kind, tree.shape, {
+                from web_rwkv_gguf_tpu.models.matrix import scale_products
+
+                # slimmed direct loads drop the f32 products; restore
+                # them (bit-exact derivation) before removing the native
+                # factors so _prep_matrix takes the f32-operand form
+                arrays = {
                     kk: v for kk, v in tree.arrays.items()
                     if kk not in ("sc6", "mn6", "d8", "dm8",
                                   "stq", "mnq", "sd", "sdm")
-                })
+                }
+                if "scales" not in arrays:
+                    sp, mnp = scale_products(tree.kind, tree.arrays)
+                    arrays["scales"] = sp
+                    if mnp is not None:
+                        arrays["mins"] = mnp
+                return Matrix(tree.kind, tree.shape, arrays)
             if isinstance(tree, dict):
                 return {kk: _strip(v) for kk, v in tree.items()}
             return tree
@@ -620,22 +649,31 @@ def test_native_scale_gemv_bit_identical():
     from web_rwkv_gguf_tpu.quant.ggml import GgmlDType, quantize_q4_k
 
     rng = np.random.default_rng(7)
-    for m, k, n in ((512, 512, 1), (1024, 768, 3)):
+    # n must stay <= config.wide_batch so quant_matmul actually dispatches
+    # to the native-factor kernel (the wide path drops the tiled operands
+    # and both sides would take the identical f32 route — vacuous).
+    for m, k, n in ((512, 512, 1), (1024, 768, 2)):
         w = (rng.normal(size=(m, k)) * 0.05).astype(np.float32)
         raw = np.frombuffer(quantize_q4_k(w.reshape(-1)), np.uint8)
         mat = Matrix.from_gguf_blocks(GgmlDType.Q4_K, raw, (m, k))
         assert "stq" in mat.arrays and mat.arrays["stq"].dtype == jnp.uint8
         g = k // 32
         assert mat.arrays["sd"].shape == (g // 8, m)
-        scale_bytes_f32 = mat.arrays["st"].size * 4 + mat.arrays["mnt"].size * 4
+        # native factors present ⇒ the redundant f32 product operands are
+        # slimmed from the resident arrays (2.7x fewer scale bytes: the
+        # f32 form would be 2g·m·4 B, native is 2g·m u8 + 2(g/8)·m f32)
+        assert "st" not in mat.arrays and "mnt" not in mat.arrays
+        scale_bytes_f32 = 2 * g * m * 4
         scale_bytes_nat = (mat.arrays["stq"].size + mat.arrays["mnq"].size
                            + (mat.arrays["sd"].size + mat.arrays["sdm"].size) * 4)
         assert scale_bytes_nat * 2 < scale_bytes_f32
 
         x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
         y_native = quant_matmul(x, "qk", mat.arrays, m, k)
-        stripped = {kk: a for kk, a in mat.arrays.items()
-                    if kk not in ("stq", "mnq", "sd", "sdm")}
+        # without the native tiled operands, quant_matmul derives the f32
+        # fold in-trace (_derive_gemv_operands_traced) — the comparison
+        # also pins that derivation against the native kernel
+        stripped = _f32_operand_arrays(mat.kind, mat.arrays)
         y_f32 = quant_matmul(x, "qk", stripped, m, k)
         # identical up to f32 FMA-fusion rounding (the kernel forms
         # d*sc/dmin*mn + 16*s in-register; the compiler may fuse the
@@ -677,8 +715,7 @@ def test_native_scale_gemv_q6k():
 
     x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
     y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
-    stripped = {kk: a for kk, a in mat.arrays.items()
-                if kk not in ("scq", "sdn", "q6s", "q6d")}
+    stripped = _f32_operand_arrays(mat.kind, mat.arrays)
     y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
     np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
                                rtol=1e-6, atol=3e-5)  # FMA-fusion rounding
@@ -709,10 +746,8 @@ def test_layer_scan7_q6k_native(B):
 
     def _strip(tree):
         if isinstance(tree, Matrix):
-            return Matrix(tree.kind, tree.shape, {
-                kk: v for kk, v in tree.arrays.items()
-                if kk not in ("scq", "sdn", "q6s", "q6d")
-            })
+            return Matrix(tree.kind, tree.shape,
+                          _f32_operand_arrays(tree.kind, tree.arrays))
         if isinstance(tree, dict):
             return {kk: _strip(v) for kk, v in tree.items()}
         return tree
@@ -758,9 +793,7 @@ def test_native_scale_gemv_q5k():
 
     x = jnp.asarray((rng.normal(size=(n, k)) * 0.5).astype(np.float32))
     y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
-    stripped = {kk: a for kk, a in mat.arrays.items()
-                if kk not in ("stq", "mnq", "sd", "sdm",
-                              "sc6", "mn6", "d8", "dm8")}
+    stripped = _f32_operand_arrays(mat.kind, mat.arrays)
     y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
     np.testing.assert_allclose(np.asarray(y_native), np.asarray(y_f32),
                                rtol=1e-6, atol=3e-5)  # FMA-fusion rounding
@@ -789,11 +822,8 @@ def test_layer_scan7_q5k_native():
 
     def _strip(tree):
         if isinstance(tree, Matrix):
-            return Matrix(tree.kind, tree.shape, {
-                kk: v for kk, v in tree.arrays.items()
-                if kk not in ("stq", "mnq", "sd", "sdm",
-                              "sc6", "mn6", "d8", "dm8")
-            })
+            return Matrix(tree.kind, tree.shape,
+                          _f32_operand_arrays(tree.kind, tree.arrays))
         if isinstance(tree, dict):
             return {kk: _strip(v) for kk, v in tree.items()}
         return tree
@@ -844,9 +874,7 @@ def test_native_scale_gemv_q2k():
 
     x = jnp.asarray((rng.normal(size=(2, k)) * 0.5).astype(np.float32))
     y_native = quant_matmul(x, mat.kind, mat.arrays, m, k)
-    stripped = {kk: a for kk, a in mat.arrays.items()
-                if kk not in ("stq", "mnq", "sd", "sdm",
-                              "sc6", "mn6", "d8", "dm8")}
+    stripped = _f32_operand_arrays(mat.kind, mat.arrays)
     y_f32 = quant_matmul(x, mat.kind, stripped, m, k)
     # FMA-fusion rounding scales with the offset-fold magnitude (random
     # Q2_K blocks have large 272·s folds); tolerance relative to output
@@ -882,3 +910,45 @@ def test_wide_plain_precision_bound():
     scale = np.abs(outs[True]).max()
     rel = np.abs(outs[False] - outs[True]).max() / scale
     assert rel < 0.03, rel  # measured ~1.1% on this config
+
+
+def test_wide_precise_byte_kinds_standalone():
+    """The standalone wide gemv (_gemv_kernel2w, split=False) must keep
+    byte-kind planes (values up to 527 = 272 + byte) in f32 so the
+    wide_precise double-bf16 correction reaches ~2^-16 error — a bf16
+    round of the combined plane loses code bits the correction cannot
+    recover (~2^-8-class error, caught by the tight tolerance here)."""
+    from web_rwkv_gguf_tpu.quant import ggml as G
+
+    rng = np.random.default_rng(21)
+    M, K, N = 128, 512, 5  # N > wide_batch → _gemv_kernel2w
+    assert N > pcfg.wide_batch
+
+    # Q8_0 → qk_nomin (signed bytes); Q5_K → qk_b (unsigned bytes + mins)
+    w = (rng.normal(size=(M, K)) * 0.1).astype(np.float32)
+    raw8 = np.frombuffer(quantize_q8_0(w.reshape(-1)), np.uint8)
+    mats = [Matrix.from_gguf_blocks(GgmlDType.Q8_0, raw8, (M, K))]
+
+    n_blocks = M * K // G.GGML_BLOCK_SIZES[GgmlDType.Q5_K]
+    raw5 = bytearray(rng.integers(0, 256, n_blocks * 176, dtype=np.uint8).tobytes())
+    for b in range(n_blocks):
+        for off in (0, 2):
+            raw5[b * 176 + off : b * 176 + off + 2] = np.float16(
+                rng.uniform(0.001, 0.05)
+            ).tobytes()
+    mats.append(Matrix.from_gguf_blocks(GgmlDType.Q5_K, bytes(raw5), (M, K)))
+
+    x = jnp.asarray(rng.normal(size=(N, K)).astype(np.float32))
+    for mat in mats:
+        assert mat.kind in ("qk_nomin", "qk_b"), mat.kind
+        want = np.asarray(
+            jnp.einsum(
+                "nk,mk->nm", x.astype(jnp.bfloat16).astype(jnp.float32),
+                mat.dequantize(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        got = np.asarray(quant_matmul(x, mat.kind, mat.arrays, M, K))
+        tol = 5e-4 * np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=tol,
+                                   err_msg=mat.kind)

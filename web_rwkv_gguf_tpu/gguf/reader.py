@@ -440,6 +440,8 @@ class GgufFile:
             GgmlDType.Q4_K,
             GgmlDType.Q5_K,
             GgmlDType.Q6_K,
+            GgmlDType.Q3_K,
+            GgmlDType.Q2_K,
         ):
             return None
         return info.dtype, self._raw(info)

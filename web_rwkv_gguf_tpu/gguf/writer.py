@@ -121,6 +121,16 @@ class GgufWriter:
 
             ggml = GgmlDType.Q6_K
             data = quantize_q6_k(array.astype(np.float32).reshape(-1))
+        elif quantize == GgmlDType.Q3_K:
+            from ..quant.ggml import quantize_q3_k
+
+            ggml = GgmlDType.Q3_K
+            data = quantize_q3_k(array.astype(np.float32).reshape(-1))
+        elif quantize == GgmlDType.Q2_K:
+            from ..quant.ggml import quantize_q2_k
+
+            ggml = GgmlDType.Q2_K
+            data = quantize_q2_k(array.astype(np.float32).reshape(-1))
         else:
             raise UnsupportedTensorType(f"unsupported quantization target: {quantize!r}")
         self._tensors.append((name, dims_gguf, ggml, data))

@@ -46,6 +46,7 @@ def make_sampler(
             cand = top_p_candidates
             if top_k > 0:
                 cand = min(cand, top_k)
+            cand = min(cand, logits.shape[-1])  # tiny-vocab models
             # nucleus membership is decided at temperature 1 and the
             # temperature reshapes probabilities only WITHIN the kept
             # set — utils/sampling.NucleusSampler and the reference
@@ -59,7 +60,7 @@ def make_sampler(
                 :, 0
             ].astype(jnp.int32)
         scaled = logits / temperature
-        if top_k > 0:
+        if 0 < top_k < logits.shape[-1]:
             kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
             scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
         return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

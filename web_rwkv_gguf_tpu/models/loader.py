@@ -42,6 +42,49 @@ class LoraPatch:
     reader: object  # GgufFile/SafeTensors-like reader
     blend: list[tuple[str, float]] = field(default_factory=list)
 
+    # the reference's big-matrix pattern (loader.rs:166-174)
+    MATRIX_PATTERN = (
+        r"blocks\.([0-9]+)\.(att|ffn)\."
+        r"(key|value|receptance|gate|output)\.weight"
+    )
+
+    @classmethod
+    def full(cls, reader, alpha: float) -> "LoraPatch":
+        """Replace all vectors, add to all matrices with ``alpha``
+        (ref: loader.rs:150-155 ``LoraBlend::full``)."""
+        return cls(reader, cls.blend_full(alpha))
+
+    @staticmethod
+    def blend_full(alpha: float) -> list[tuple[str, float]]:
+        return (LoraPatch.blend_nominal(1.0)
+                + LoraPatch.blend_matrices(alpha))
+
+    @staticmethod
+    def blend_nominal(alpha: float) -> list[tuple[str, float]]:
+        """Interpolate every tensor with factor ``alpha``
+        (ref: loader.rs:158-163 ``add_nominal``)."""
+        return [(r".+", alpha)]
+
+    @staticmethod
+    def blend_matrices(alpha: float) -> list[tuple[str, float]]:
+        """Add to all big matrices with ``alpha``
+        (ref: loader.rs:166-174 ``add_matrices``)."""
+        return [(LoraPatch.MATRIX_PATTERN, alpha)]
+
+    @staticmethod
+    def blend_layer_nominal(layer: int, alpha: float) -> list[tuple[str, float]]:
+        """ref: loader.rs:177-182 ``add_layer_nominal``."""
+        return [(rf"blocks\.{layer}", alpha)]
+
+    @staticmethod
+    def blend_layer_matrices(layer: int, alpha: float) -> list[tuple[str, float]]:
+        """ref: loader.rs:185-191 ``add_layer_matrices``."""
+        return [(
+            rf"blocks\.{layer}\.(att|ffn)\."
+            rf"(key|value|receptance|gate|output)\.weight",
+            alpha,
+        )]
+
 
 def _np(reader, name, dtype=np.float32) -> np.ndarray:
     return np.asarray(reader.tensor(name, dtype))
@@ -214,9 +257,12 @@ def group_gemv_matrices(mats: list) -> dict | None:
             mn = np.asarray(a["mn"], np.float32)
             scales = (np.asarray(a["mx"], np.float32) - mn) / 255.0
             return _gemv_scale_arrays(m, k, scales, mn, kdim=kdim)
-        mins = np.asarray(a["mins"], np.float32) if "mins" in a else None
+        from .matrix import scale_products
+
+        sp, mnp = scale_products(kind, a)
+        mins = np.asarray(mnp, np.float32) if mnp is not None else None
         return _gemv_scale_arrays(
-            m, k, np.asarray(a["scales"], np.float32), mins, kdim=kdim
+            m, k, np.asarray(sp, np.float32), mins, kdim=kdim
         )
 
     ops = [v1_ops(mt) for mt in mats]
@@ -426,7 +472,10 @@ def load_model(
 
     if version == ModelVersion.V4:
         blocks["att"] = {
-            "time_decay": vecs("blocks.{i}.att.time_decay"),
+            "time_decay": jnp.asarray(-np.exp(
+                np.stack([ld.vector(f"blocks.{i}.att.time_decay")
+                          for i in range(L)])
+            )),
             "time_first": vecs("blocks.{i}.att.time_first"),
             "mix_k": vecs("blocks.{i}.att.time_mix_k"),
             "mix_v": vecs("blocks.{i}.att.time_mix_v"),
@@ -436,9 +485,6 @@ def load_model(
             "Wr": mats("blocks.{i}.att.receptance.weight"),
             "Wo": mats("blocks.{i}.att.output.weight", discounted=True),
         }
-        blocks["att"]["time_decay"] = jnp.asarray(
-            -np.exp(np.stack([ld.vector(f"blocks.{i}.att.time_decay") for i in range(L)]))
-        )
         blocks["ffn"] = {
             "mix_k": vecs("blocks.{i}.ffn.time_mix_k"),
             "mix_r": vecs("blocks.{i}.ffn.time_mix_r"),

@@ -62,6 +62,33 @@ def _gemv_ops(kind, scales, mins, m, k, kdim, signed) -> dict:
     return build_gemv_operands(kind, scales, mins, m, k, kdim, signed)
 
 
+def scale_products(kind: str, a: dict):
+    """Per-group f32 ``(scales, mins|None)`` for a quantized Matrix —
+    read from the stored arrays, or formed from the native factor arrays
+    when the f32 products were slimmed at load (bit-exact: the repackers
+    built ``scales`` as ``d.repeat(r) * sc`` in f32, see
+    quant/repack.py::q4k_scale_factors). Works on stacked ``[L, ...]``
+    arrays and under a jit trace."""
+    if "scales" in a:
+        mins = a["mins"].astype(jnp.float32) if "mins" in a else None
+        return a["scales"].astype(jnp.float32), mins
+    if "sc6" in a:  # qk / qk_b native factors (scale + min codes)
+        sc = a["sc6"]
+        d = a["d8"].astype(jnp.float32)
+        reps = sc.shape[-1] // d.shape[-1]
+        scales = jnp.repeat(d, reps, axis=-1) * sc.astype(jnp.float32)
+        mins = (jnp.repeat(a["dm8"].astype(jnp.float32), reps, axis=-1)
+                * a["mn6"].astype(jnp.float32))
+        return scales, mins
+    if "q6s" in a:  # qk_nomin native factors (signed scale codes)
+        sc = a["q6s"].astype(jnp.int8)
+        d = a["q6d"].astype(jnp.float32)
+        reps = sc.shape[-1] // d.shape[-1]
+        scales = jnp.repeat(d, reps, axis=-1) * sc.astype(jnp.float32)
+        return scales, None
+    raise LoaderError(f"no scale arrays for kind {kind!r}: {sorted(a)}")
+
+
 def recompute_gemv_arrays(
     kind: str, arrays: dict, m: int, k: int, signed: bool | None = None
 ) -> dict:
@@ -76,23 +103,17 @@ def recompute_gemv_arrays(
         mn = np.asarray(arrays["mn"], np.float32)
         mx = np.asarray(arrays["mx"], np.float32)
         return _gemv_ops(kind, (mx - mn) / 255.0, mn, m, k, k, False)
-    if kind == "qk":
-        return _gemv_ops(
-            kind, np.asarray(arrays["scales"], np.float32),
-            np.asarray(arrays["mins"], np.float32), m, k, k // 2, False,
-        )
-    if kind == "qk_b":
-        return _gemv_ops(
-            kind, np.asarray(arrays["scales"], np.float32),
-            np.asarray(arrays["mins"], np.float32), m, k, k, False,
-        )
-    if kind == "qk_nomin":
+    if kind in ("qk", "qk_b", "qk_nomin"):
+        s, mn = scale_products(kind, arrays)
+        s = np.asarray(s, np.float32)
+        mn = np.asarray(mn, np.float32) if mn is not None else None
+        if kind == "qk":
+            return _gemv_ops(kind, s, mn, m, k, k // 2, False)
+        if kind == "qk_b":
+            return _gemv_ops(kind, s, mn, m, k, k, False)
         if signed is None:
             raise ValueError("qk_nomin operand rebuild needs the code sign")
-        return _gemv_ops(
-            kind, np.asarray(arrays["scales"], np.float32), None, m, k, k,
-            signed,
-        )
+        return _gemv_ops(kind, s, None, m, k, k, signed)
     if kind == "nf4":
         am = np.asarray(arrays["absmax"], np.float32)
         scales = np.concatenate([am, am], -1)
@@ -207,6 +228,22 @@ class Matrix:
         from ..quant import repack
 
         m, k = int(shape[0]), int(shape[1])
+
+        def slim(arrays: dict) -> dict:
+            # With native factors present, the f32 scale products AND the
+            # precomputed gemv operands are redundant resident HBM (for
+            # the 16-element-group kinds they weigh 1.25 B/weight — more
+            # than Q2_K's own codes): the narrow gemv streams the native
+            # forms; every other consumer derives the f32 products
+            # in-trace from the factor arrays (scale_products /
+            # _derive_gemv_operands_traced) — bit-exactly, since the
+            # repackers formed them as d·sc in f32 to begin with.
+            if "stq" in arrays or "scq" in arrays:
+                arrays.pop("st", None)
+                arrays.pop("mnt", None)
+                arrays.pop("scales", None)
+                arrays.pop("mins", None)
+            return arrays
         if dtype == GgmlDType.Q4_K:
             codes, scales, mins = repack.repack_q4_k(raw, m, k)
             arrays = {
@@ -232,7 +269,7 @@ class Matrix:
                     "sc6": jnp.asarray(sc6), "mn6": jnp.asarray(mn6),
                     "d8": jnp.asarray(d8), "dm8": jnp.asarray(dm8),
                 })
-            return cls("qk", (m, k), arrays)
+            return cls("qk", (m, k), slim(arrays))
         if dtype == GgmlDType.Q5_K:
             codes, scales, mins = repack.repack_q5_k(raw, m, k)
             arrays = {
@@ -244,7 +281,7 @@ class Matrix:
             factors = repack.q5k_scale_factors(raw, m, k)
             if factors is not None:
                 arrays.update(_native_b_arrays(factors, m, k))
-            return cls("qk_b", (m, k), arrays)
+            return cls("qk_b", (m, k), slim(arrays))
         if dtype == GgmlDType.Q6_K:
             codes, scales = repack.repack_q6_k(raw, m, k)
             arrays = {
@@ -263,7 +300,7 @@ class Matrix:
                     build_gemv_operands_native_nomin(sc8, d8, m, k, k)
                 )
                 arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
-            return cls("qk_nomin", (m, k), arrays)
+            return cls("qk_nomin", (m, k), slim(arrays))
         if dtype == GgmlDType.Q8_0:
             codes, scales = repack.repack_q8_0(raw, m, k)
             return cls(
@@ -291,7 +328,7 @@ class Matrix:
                     build_gemv_operands_native_nomin(sc8, d8, m, k, k)
                 )
                 arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
-            return cls("qk_nomin", (m, k), arrays)
+            return cls("qk_nomin", (m, k), slim(arrays))
         if dtype == GgmlDType.Q2_K:
             codes, scales, mins = repack.repack_q2_k(raw, m, k)
             arrays = {
@@ -303,7 +340,7 @@ class Matrix:
             factors = repack.q2k_scale_factors(raw, m, k)
             if factors is not None:
                 arrays.update(_native_b_arrays(factors, m, k))
-            return cls("qk_b", (m, k), arrays)
+            return cls("qk_b", (m, k), slim(arrays))
         if dtype == GgmlDType.Q4_0:
             codes, scales = repack.repack_q4_0(raw, m, k)
             return cls(
@@ -360,20 +397,23 @@ class Matrix:
             lo = (codes & 0x0F).astype(jnp.float32)
             hi = (codes >> 4).astype(jnp.float32)
             q = jnp.concatenate([lo, hi], axis=-1)
-            g = K // a["scales"].shape[-1]
-            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
-            mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
+            sp, mnp = scale_products(self.kind, a)
+            g = K // sp.shape[-1]
+            s = jnp.repeat(sp, g, axis=-1)
+            mn = jnp.repeat(mnp, g, axis=-1)
             return (q * s - mn).astype(dtype)
         if self.kind == "qk_b":
             q = a["codes"].astype(jnp.float32)
-            g = K // a["scales"].shape[-1]
-            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
-            mn = jnp.repeat(a["mins"].astype(jnp.float32), g, axis=-1)
+            sp, mnp = scale_products(self.kind, a)
+            g = K // sp.shape[-1]
+            s = jnp.repeat(sp, g, axis=-1)
+            mn = jnp.repeat(mnp, g, axis=-1)
             return (q * s - mn).astype(dtype)
         if self.kind == "qk_nomin":
             q = a["codes"].astype(jnp.float32)
-            g = K // a["scales"].shape[-1]
-            s = jnp.repeat(a["scales"].astype(jnp.float32), g, axis=-1)
+            sp, _ = scale_products(self.kind, a)
+            g = K // sp.shape[-1]
+            s = jnp.repeat(sp, g, axis=-1)
             return (q * s).astype(dtype)
         raise LoaderError(f"unknown matrix kind {self.kind}")
 
@@ -437,8 +477,9 @@ class Matrix:
             scales = (a["mx"].astype(jnp.float32) - a["mn"].astype(jnp.float32)) / 255.0
             offsets = a["mn"].astype(jnp.float32)
         else:
-            scales = a["scales"].astype(jnp.float32)
-            offsets = -a["mins"].astype(jnp.float32) if "mins" in a else None
+            sp, mnp = scale_products(self.kind, a)
+            scales = sp
+            offsets = -mnp if mnp is not None else None
         g = scales.shape[-1]
         gsize = k // g
         codes = a["codes"].astype(jnp.bfloat16)

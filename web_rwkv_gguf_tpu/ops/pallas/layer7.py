@@ -626,8 +626,11 @@ def _prep_matrix(mat) -> dict | None:
         }
 
     if mat.kind == "qk":
-        s = np.asarray(a["scales"], np.float32)
-        mn = np.asarray(a["mins"], np.float32)
+        from ...models.matrix import scale_products
+
+        sp, mnp = scale_products(mat.kind, a)
+        s = np.asarray(sp, np.float32)
+        mn = np.asarray(mnp, np.float32)
         st = t(s)
         off = t(mn + 16.0 * s)
         split = True
@@ -638,8 +641,11 @@ def _prep_matrix(mat) -> dict | None:
             s = (mx - mn) / 255.0
             off_l = 272.0 * s - mn
         else:
-            s = np.asarray(a["scales"], np.float32)
-            base = np.asarray(a["mins"], np.float32) if "mins" in a else 0.0
+            from ...models.matrix import scale_products
+
+            sp, mnp = scale_products(mat.kind, a)
+            s = np.asarray(sp, np.float32)
+            base = np.asarray(mnp, np.float32) if mnp is not None else 0.0
             off_l = base + (272.0 + shift) * s
         st = np.concatenate([t(s), 16.0 * t(s)], axis=-2)  # [L, 2g, m]
         off = t(off_l) if isinstance(off_l, np.ndarray) else t(off_l + 0 * s)

@@ -308,6 +308,37 @@ def build_gemv_operands(kind, scales, mins, m, k, kdim, signed) -> dict:
     return {"st": jnp.asarray(st), "mnt": jnp.asarray(off)}
 
 
+def _derive_gemv_operands_traced(kind, scales, mins, m, kdim, *, signed):
+    """jnp twin of :func:`build_gemv_operands` for use INSIDE a trace:
+    (st, off) derived from the raw ``[m, g]`` scale arrays when the
+    precomputed f32 operands were slimmed away at load (direct-quantized
+    matrices with native factors drop them — the narrow path streams the
+    native forms and the wide path derives these on the fly). Returns
+    (None, None) when the M tiling is unusable."""
+    bm = _gemv_block_m(m, kdim)
+    if bm is None:
+        return None, None
+
+    def tile_halves(a):  # [m, g] -> [g, m] per-tile [evens|odds] columns
+        a = a.astype(jnp.float32).T
+        g_rows = a.shape[0]
+        a = a.reshape(g_rows, m // bm, bm)
+        a = jnp.concatenate([a[..., 0::2], a[..., 1::2]], axis=-1)
+        return a.reshape(g_rows, m)
+
+    if kind == "qk":
+        return tile_halves(scales), tile_halves(mins + 16.0 * scales)
+    sT = tile_halves(scales)
+    st = jnp.concatenate([sT, 16.0 * sT], axis=-2)
+    if kind == "int8":
+        off = tile_halves(272.0 * scales - mins)
+    elif kind == "qk_b":
+        off = tile_halves(mins + 272.0 * scales)
+    else:  # qk_nomin
+        off = (272.0 + (128.0 if signed else 0.0)) * sT
+    return st, off
+
+
 def build_gemv_operands_native(sc, mn, d, dmin, m, k, kdim) -> dict:
     """Native-factor scale operands for the v2 gemv ("qk" kind only):
     6-bit scale/min codes stay u8 and the f16 super-scales stay one row
@@ -659,8 +690,12 @@ def _gemv_kernel2w(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
         pb = jnp.concatenate([pb_lo, pb_hi], axis=1)
         s_rows = st_ref[:]
     else:
-        pa = (pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32)).astype(jnp.bfloat16)
-        pb = (pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32)).astype(jnp.bfloat16)
+        # Keep the combined byte planes in f32: lo + 16*hi spans [272, 527]
+        # (10 mantissa bits) and a bf16 round here would lose plane bits that
+        # the wide_precise double-bf16 correction in mdot cannot recover
+        # (mdot re-rounds to bf16 itself for the fast path).
+        pa = pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32)
+        pb = pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32)
         s_rows = st_ref[:g]
 
     def mdot(planes, s_exp):
@@ -1013,21 +1048,14 @@ def quant_matmul(
         offset_sign = 1.0
         codes = arrays["codes"]
         kdim = k
-    elif kind == "qk":
-        scales = arrays["scales"].astype(jnp.float32)
-        offsets = arrays["mins"].astype(jnp.float32)
+    else:  # qk / qk_b / qk_nomin
+        # f32 scale products stored, or formed in-trace from the native
+        # factor arrays when the products were slimmed at load
+        from ...models.matrix import scale_products
+
+        scales, offsets = scale_products(kind, arrays)
         codes = arrays["codes"]
-        kdim = k // 2
-    elif kind == "qk_b":
-        scales = arrays["scales"].astype(jnp.float32)
-        offsets = arrays["mins"].astype(jnp.float32)
-        codes = arrays["codes"]
-        kdim = k
-    else:  # qk_nomin
-        scales = arrays["scales"].astype(jnp.float32)
-        offsets = None
-        codes = arrays["codes"]
-        kdim = k
+        kdim = k // 2 if kind == "qk" else k
 
     g = scales.shape[-1]
     gsize = k // g
@@ -1090,6 +1118,22 @@ def quant_matmul(
             if pre_st.shape == (gs_rows, m) and pre_mnt.shape == (g, m):
                 return _quant_gemv2(
                     x, codes, pre_st, pre_mnt, split=split,
+                    signed=codes.dtype == jnp.int8, m=m, k=k, kdim=kdim,
+                    gsize=gsize,
+                )
+        if kind != "nf4" and scales.shape == (m, g):
+            # f32 operands absent (slimmed direct load keeps only the
+            # native factors + raw [m, g] scale arrays): derive the v2
+            # fold in-trace — identical math to build_gemv_operands, so
+            # the kernel sees bit-identical f32 operands. XLA fuses the
+            # transpose/fold into the surrounding program; the scale
+            # arrays are small next to the code DMA this kernel performs.
+            st_d, off_d = _derive_gemv_operands_traced(
+                kind, scales, offsets, m, kdim, signed=codes.dtype == jnp.int8
+            )
+            if st_d is not None:
+                return _quant_gemv2(
+                    x, codes, st_d, off_d, split=kind == "qk",
                     signed=codes.dtype == jnp.int8, m=m, k=k, kdim=kdim,
                     gsize=gsize,
                 )

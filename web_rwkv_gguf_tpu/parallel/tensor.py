@@ -124,20 +124,65 @@ def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
 
     from ..models.matrix import recompute_gemv_arrays
 
-    import numpy as np
-
-    from ..models.matrix import recompute_gemv_arrays
+    from ..ops.pallas.matmul import (
+        build_gemv_operands_native,
+        build_gemv_operands_native_nomin,
+    )
 
     a = m.arrays
     mdim, k = m.dims()
     m_loc = mdim // n
-    keys = [key for key in ("scales", "mins", "mn", "mx", "absmax") if key in a]
+    keys = [key for key in ("scales", "mins", "mn", "mx", "absmax",
+                            "sc6", "mn6", "d8", "dm8", "q6s", "q6d")
+            if key in a]
     signed = np.asarray(a["codes"]).dtype == np.int8 if "codes" in a else False
+    kdim = k // 2 if m.kind == "qk" else k
+
+    def native_piece(s: int) -> dict:
+        # native scale-factor operands rebuilt from the raw row-major
+        # factor arrays (sc6/mn6/d8/dm8 or q6s/q6d slice fine along M) so
+        # multi-chip decode keeps the 2.7-9.6x scale-DMA win
+        lo = s * m_loc
+        if "sc6" in a:
+            stacked = np.asarray(a["sc6"]).ndim == 3
+            def cut(key):
+                return np.asarray(a[key])[..., lo : lo + m_loc, :]
+            args = [cut("sc6"), cut("mn6"), cut("d8"), cut("dm8")]
+            if stacked:
+                outs = [
+                    build_gemv_operands_native(
+                        *(x[i] for x in args), m_loc, k, kdim
+                    )
+                    for i in range(args[0].shape[0])
+                ]
+                if not outs[0]:
+                    return {}
+                return {key: jnp.stack([o[key] for o in outs])
+                        for key in outs[0]}
+            return build_gemv_operands_native(*args, m_loc, k, kdim)
+        if "q6s" in a:
+            stacked = np.asarray(a["q6s"]).ndim == 3
+            sc = np.asarray(a["q6s"])[..., lo : lo + m_loc, :]
+            d = np.asarray(a["q6d"])[..., lo : lo + m_loc, :]
+            if stacked:
+                outs = [
+                    build_gemv_operands_native_nomin(sc[i], d[i], m_loc, k, kdim)
+                    for i in range(sc.shape[0])
+                ]
+                if not outs[0]:
+                    return {}
+                return {key: jnp.stack([o[key] for o in outs])
+                        for key in outs[0]}
+            return build_gemv_operands_native_nomin(sc, d, m_loc, k, kdim)
+        return {}
+
     pieces = []
     for s in range(n):
         loc = {key: np.asarray(a[key])[..., s * m_loc : (s + 1) * m_loc, :]
                for key in keys}
-        pieces.append(recompute_gemv_arrays(m.kind, loc, m_loc, k, signed=signed))
+        piece = recompute_gemv_arrays(m.kind, loc, m_loc, k, signed=signed)
+        piece.update(native_piece(s))
+        pieces.append(piece)
     if not pieces or not pieces[0]:
         return {}
     return {
@@ -146,14 +191,20 @@ def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
     }
 
 
+# gemv operands derived from the row-major storage arrays, [.., r, m]-
+# shaped (M on the LAST axis, per-tile column permutation): rebuilt per
+# shard at placement, sharded on their last axis
+_DERIVED_KEYS = ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")
+
+
 def _col_shardable(m: Matrix, n: int) -> bool:
-    # derived gemv operands ([.., g, m]/[.., g/8, m] layouts) are dropped
-    # and rebuilt at placement (_shard_mat_col) — only the row-major
-    # [.., m, ..] storage arrays decide shardability
+    # derived gemv operands are dropped and rebuilt at placement
+    # (_shard_mat_col) — only the row-major [.., m, ..] storage arrays
+    # decide shardability
     return "lut" not in m.arrays and all(
         a.shape[-2] % n == 0
         for k, a in m.arrays.items()
-        if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")
+        if k not in _DERIVED_KEYS
     )
 
 
@@ -170,15 +221,16 @@ def _shard_mat_col(m: Matrix, mesh: Mesh) -> Matrix:
             {k2: jax.device_put(a2, NamedSharding(mesh, P()))
              for k2, a2 in m.arrays.items()},
         )
-    # native-factor operands (stq/mnq/sd/sdm) are [.., g, m]-shaped and
-    # cannot ride the generic M-axis spec; drop them — the rebuilt f32
-    # st/mnt operands serve the shard (native is a single-chip fast path)
+    # derived operands ([.., g, m] layouts, per-tile permutation tied to
+    # the GLOBAL m) cannot ride the generic M-axis spec; drop and rebuild
+    # per shard — f32 st/mnt AND the native-factor forms (stq/mnq/sd/sdm,
+    # scq/sdn), so TP decode keeps the native scale-DMA win
     arrays = {k: a for k, a in m.arrays.items()
-              if k not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")}
+              if k not in _DERIVED_KEYS}
     arrays.update(_reshard_gemv_arrays(m, n))
     out = {}
     for k, a in arrays.items():
-        if k in ("st", "mnt"):
+        if k in _DERIVED_KEYS:
             spec = P(*([None] * (a.ndim - 1) + ["model"]))
         else:
             spec = P(*([None] * (a.ndim - 2) + ["model", None]))
@@ -196,7 +248,7 @@ def _spec_for_mat(m: Matrix, mesh: Mesh) -> object:
         return P()
     specs = {}
     for k, a in m.arrays.items():
-        if k in ("st", "mnt"):
+        if k in _DERIVED_KEYS:
             specs[k] = P(*([None] * (a.ndim - 1) + ["model"]))
         else:
             specs[k] = P(*([None] * (a.ndim - 2) + ["model", None]))
@@ -384,3 +436,33 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
             check_vma=False,
         )
     )
+
+
+def make_tp_head(mesh: Mesh, params: dict):
+    """Jitted ``(params, rows[N, C]) -> logits[N, V]`` head projection
+    under ``shard_map`` for TP-placed params (the Pallas-safe counterpart
+    of ``logits_head`` — GSPMD cannot partition a ``pallas_call``). Rows
+    are replicated; each device computes its local vocab slice and the
+    result is gathered."""
+    head_spec = _spec_for_mat(params["head"], mesh)
+    sharded = head_spec != P()
+
+    def body(p, rows):
+        lg = logits_head(p, rows)
+        if sharded:
+            lg = jax.lax.all_gather(lg, "model", axis=-1, tiled=True)
+        return lg
+
+    specs = {
+        "head": head_spec,
+        "ln_out": jax.tree.map(lambda _: P(), params["ln_out"]),
+    }
+
+    def pick(p):
+        return {"head": p["head"], "ln_out": p["ln_out"]}
+
+    mapped = shard_map(
+        body, mesh=mesh, in_specs=(specs, P(None, None)),
+        out_specs=P(None, None), check_vma=False,
+    )
+    return jax.jit(lambda p, rows: mapped(pick(p), rows))

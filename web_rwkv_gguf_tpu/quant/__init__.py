@@ -19,7 +19,11 @@ from .ggml import (  # noqa: F401
     dequantize_q5_k,
     dequantize_q6_k,
     dequantize_q8_0,
+    quantize_q2_k,
+    quantize_q3_k,
     quantize_q4_k,
+    quantize_q5_k,
+    quantize_q6_k,
     quantize_q8_0,
 )
 from .formats import (  # noqa: F401

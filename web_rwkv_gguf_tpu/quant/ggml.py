@@ -496,3 +496,119 @@ def quantize_q5_k(values: np.ndarray) -> bytes:
     out[:, 16:48] = qh
     out[:, 48:176] = ql
     return out.tobytes()
+
+
+# Q2_K/Q3_K element order: e = 128h + 32s + c (h half, s shift, c column);
+# 16-element sub-block index = 8h + 2s + c//16 (see dequantize_q2_k).
+def _k2k3_subblocks(v: np.ndarray) -> np.ndarray:
+    """[n, 256] → [n, 16, 16] grouped by the Q2/Q3 sub-block index."""
+    n = v.shape[0]
+    hsc = v.reshape(n, 2, 4, 2, 16)  # [n, h, s, c//16, c%16]
+    return hsc.reshape(n, 16, 16)
+
+
+def _k2k3_elements(q: np.ndarray) -> np.ndarray:
+    """[n, 16, 16] sub-block codes → [n, 2, 4, 32] (h, s, c) layout."""
+    n = q.shape[0]
+    return q.reshape(n, 2, 4, 2, 16).reshape(n, 2, 4, 32)
+
+
+def quantize_q2_k(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 256) to Q2_K super-blocks.
+
+    Simple absmax/min variant per 16-element sub-block (4-bit sc/mn vs
+    per-super d/dmin, 2-bit codes). Not llama.cpp's iterative fit, but a
+    valid Q2_K encoding (dequant exact w.r.t. stored bits)."""
+    v = np.asarray(values, np.float32).reshape(-1, QK_K)
+    n = v.shape[0]
+    sub = _k2k3_subblocks(v)  # [n, 16, 16]
+    smin = np.minimum(sub.min(axis=2), 0.0)
+    smax = sub.max(axis=2)
+    scale = (smax - smin) / 3.0
+    neg_min = -smin
+    d = (scale.max(axis=1) / 15.0).astype(np.float32)
+    dmin = (neg_min.max(axis=1) / 15.0).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)
+        inv_m = np.where(dmin > 0, 1.0 / np.where(dmin > 0, dmin, 1), 0.0)
+    sc = np.clip(np.round(scale * inv_d[:, None]), 0, 15).astype(np.uint8)
+    mn = np.clip(np.round(neg_min * inv_m[:, None]), 0, 15).astype(np.uint8)
+
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    eff_scale = d16.astype(np.float32)[:, None] * sc
+    eff_min = dmin16.astype(np.float32)[:, None] * mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_s = np.where(eff_scale > 0,
+                         1.0 / np.where(eff_scale > 0, eff_scale, 1), 0.0)
+    q = np.clip(np.round((sub + eff_min[:, :, None]) * inv_s[:, :, None]),
+                0, 3).astype(np.uint8)
+
+    qe = _k2k3_elements(q)  # [n, 2, 4, 32]
+    qs = (qe[:, :, 0] | (qe[:, :, 1] << 2) | (qe[:, :, 2] << 4)
+          | (qe[:, :, 3] << 6)).astype(np.uint8)  # [n, 2, 32]
+
+    out = np.empty((n, 84), np.uint8)
+    out[:, 0:16] = (mn << 4) | sc
+    out[:, 16:80] = qs.reshape(n, 64)
+    out[:, 80:82] = d16[:, None].view(np.uint8)
+    out[:, 82:84] = dmin16[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def quantize_q3_k(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 256) to Q3_K super-blocks.
+
+    Simple absmax variant per 16-element sub-block (6-bit signed scales in
+    the aux-word packing vs per-super d, 3-bit signed codes -4..3). Valid
+    encoding; dequant exact w.r.t. stored bits."""
+    v = np.asarray(values, np.float32).reshape(-1, QK_K)
+    n = v.shape[0]
+    sub = _k2k3_subblocks(v)  # [n, 16, 16]
+    s = np.abs(sub).max(axis=2) / 4.0  # codes span -4..3
+    d = (s.max(axis=1) / 31.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = np.where(ds > 0, 1.0 / np.where(ds > 0, ds, 1), 0.0)
+    sc6 = np.clip(np.round(s * inv_d[:, None]), -32, 31).astype(np.int8)
+    eff = ds[:, None] * sc6.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_e = np.where(eff != 0, 1.0 / np.where(eff != 0, eff, 1), 0.0)
+    q = np.clip(np.round(sub * inv_e[:, :, None]), -4, 3).astype(np.int8)
+
+    enc = (_k2k3_elements(q).astype(np.int16) + 4).astype(np.uint8)  # 0..7
+    lo = enc & 3
+    hbit = enc >> 2  # [n, 2, 4, 32]
+    qs = (lo[:, :, 0] | (lo[:, :, 1] << 2) | (lo[:, :, 2] << 4)
+          | (lo[:, :, 3] << 6)).astype(np.uint8)  # [n, 2, 32]
+    # hmask bit index = 4h + s of byte c
+    hmask = np.zeros((n, 32), np.uint8)
+    for h in range(2):
+        for sh in range(4):
+            hmask |= (hbit[:, h, sh, :] << (4 * h + sh)).astype(np.uint8)
+
+    # inverse of the aux-word scale unpack (see dequantize_q3_k)
+    u = (sc6.astype(np.int16) + 32).astype(np.uint8)  # [n, 16] 0..63
+    lo4 = u & 0x0F
+    hi2 = u >> 4
+    aux = np.zeros((n, 3), np.uint32)
+    for b in range(4):
+        aux[:, 0] |= (lo4[:, b].astype(np.uint32) << (8 * b)) | (
+            lo4[:, 8 + b].astype(np.uint32) << (8 * b + 4)
+        )
+        aux[:, 1] |= (lo4[:, 4 + b].astype(np.uint32) << (8 * b)) | (
+            lo4[:, 12 + b].astype(np.uint32) << (8 * b + 4)
+        )
+        aux[:, 2] |= (
+            (hi2[:, b].astype(np.uint32) << (8 * b))
+            | (hi2[:, 4 + b].astype(np.uint32) << (8 * b + 2))
+            | (hi2[:, 8 + b].astype(np.uint32) << (8 * b + 4))
+            | (hi2[:, 12 + b].astype(np.uint32) << (8 * b + 6))
+        )
+
+    out = np.empty((n, 110), np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs.reshape(n, 64)
+    out[:, 96:108] = aux.view(np.uint8).reshape(n, 12)
+    out[:, 108:110] = d[:, None].view(np.uint8)
+    return out.tobytes()

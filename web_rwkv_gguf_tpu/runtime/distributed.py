@@ -90,9 +90,14 @@ class DistributedEngine:
         *,
         mesh=None,
         token_chunk_size: int = 128,
+        tp_mode: str = "gspmd",
     ):
         import jax.numpy as jnp
 
+        from ..errors import EngineError
+
+        if tp_mode not in ("gspmd", "shard_map"):
+            raise EngineError(f"unknown tp_mode {tp_mode!r}")
         self.info = info
         self.params = params
         self.num_batch = num_batch
@@ -111,16 +116,34 @@ class DistributedEngine:
         self.state = state
         self._fresh = fresh
         self._jnp = jnp
-        self._forward = jax.jit(
-            functools.partial(forward_chunk, info), donate_argnums=(1,)
-        )
-        self._forward_embeds = jax.jit(
-            lambda params, state, embeds, lengths: forward_chunk(
-                info, params, state, None, lengths, input_embeds=embeds
-            ),
-            donate_argnums=(1,),
-        )
-        self._head = jax.jit(logits_head)
+        if tp_mode == "shard_map":
+            # Pallas-safe cross-host serving: GSPMD cannot partition a
+            # pallas_call, so the forward runs under shard_map with every
+            # device holding its local weight shard as a plain array
+            # (parallel/tensor.py module docstring). ``params`` must be
+            # placed with shard_params_tp(mesh).
+            if mesh is None:
+                raise EngineError("tp_mode='shard_map' requires a mesh")
+            from ..parallel.tensor import make_tp_forward, make_tp_head
+
+            self._forward = make_tp_forward(
+                info, mesh, params, full_output=True
+            )
+            self._forward_embeds = make_tp_forward(
+                info, mesh, params, full_output=True, input_embeds=True
+            )
+            self._head = make_tp_head(mesh, params)
+        else:
+            self._forward = jax.jit(
+                functools.partial(forward_chunk, info), donate_argnums=(1,)
+            )
+            self._forward_embeds = jax.jit(
+                lambda params, state, embeds, lengths: forward_chunk(
+                    info, params, state, None, lengths, input_embeds=embeds
+                ),
+                donate_argnums=(1,),
+            )
+            self._head = jax.jit(logits_head)
 
         def _reset(state, fresh, mask):
             def leaf(a, f):

@@ -86,6 +86,12 @@ class Engine:
     ):
         if tp_mode not in ("gspmd", "shard_map"):
             raise EngineError(f"unknown tp_mode {tp_mode!r}")
+        # warm restarts reload compiled decode/prefill programs from disk
+        # (5-7 s of XLA compile per (format, B) config otherwise;
+        # WEB_RWKV_TPU_CACHE=0 disables)
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
@@ -299,13 +305,26 @@ class Engine:
                 fw_params, self.state, jnp.asarray(tokens), lengths
             )
             input.step(plan)
-            host_logits = None
+            active = [
+                b for b, p in enumerate(plan)
+                if p.option == RnnOption.LAST and p.len > 0
+            ]
+            # fetch only the active lanes' logits rows to the host — at
+            # num_vocab=65536 each lane is 256 KB; a single-lane step in a
+            # wide engine otherwise pays B times that per step
+            if len(active) == len(plan):
+                host_logits = np.asarray(logits)
+            elif active:
+                rows = jnp.take(logits, jnp.asarray(active, jnp.int32), axis=0)
+                fetched = np.asarray(rows)
+                host_logits = {b: fetched[i] for i, b in enumerate(active)}
             out = []
             for b, p in enumerate(plan):
                 if p.option == RnnOption.LAST and p.len > 0:
-                    if host_logits is None:
-                        host_logits = np.asarray(logits)
-                    out.append(host_logits[b : b + 1])
+                    if isinstance(host_logits, dict):
+                        out.append(host_logits[b][None])
+                    else:
+                        out.append(host_logits[b : b + 1])
                 else:
                     out.append(np.zeros((0, self.info.num_vocab), np.float32))
             return RnnOutput(out)

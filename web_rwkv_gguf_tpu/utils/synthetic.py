@@ -244,10 +244,10 @@ def synthetic_v7_params(
         # "q4km" mirrors llama.cpp's Q4_K_M placement: Q4_K layer
         # matrices, Q6_K output head (passed via fmt at the call sites)
         fmt = fmt or ("q4k" if quant == "q4km" else quant)
-        if fmt in ("q4k", "q8_0", "q6k", "q5k"):
+        if fmt in ("q4k", "q8_0", "q6k", "q5k", "q3k", "q2k"):
             from ..quant.ggml import (
-                GgmlDType, quantize_q4_k, quantize_q5_k, quantize_q6_k,
-                quantize_q8_0,
+                GgmlDType, quantize_q2_k, quantize_q3_k, quantize_q4_k,
+                quantize_q5_k, quantize_q6_k, quantize_q8_0,
             )
 
             qfn, qdt = {
@@ -255,6 +255,8 @@ def synthetic_v7_params(
                 "q8_0": (quantize_q8_0, GgmlDType.Q8_0),
                 "q6k": (quantize_q6_k, GgmlDType.Q6_K),
                 "q5k": (quantize_q5_k, GgmlDType.Q5_K),
+                "q3k": (quantize_q3_k, GgmlDType.Q3_K),
+                "q2k": (quantize_q2_k, GgmlDType.Q2_K),
             }[fmt]
             per = []
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
