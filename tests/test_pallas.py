@@ -584,7 +584,7 @@ def test_layer_scan7_matches_forward(quant, B, C):
     # C (5e-3 at C=64, ~2e-2 at C=256); wiring/layout bugs would produce
     # O(1) garbage. The NATIVE scale path is pinned tightly against the
     # f32-operand kernel below (same math, FMA-fusion rounding only).
-    atol = 5e-3 if C == 64 else 3e-2
+    atol = 5e-3 if C == 64 else 4e-2
     for t in (3, 7, 11):
         tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 5 + t) % 64
         x_ref, s_ref = forward_chunk(info, params, s_ref, tok, lens)

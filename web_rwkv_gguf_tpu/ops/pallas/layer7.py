@@ -40,6 +40,9 @@ from . import config
 
 _VMEM_LIMIT = 100 << 20
 
+# bench/test hook: force the per-matrix strategy map (None = cost model)
+_FORCE_WIDE = None
+
 # largest decode batch routed through the layer-scan kernel; the `wide`
 # gemv strategy (scales expanded into the code planes, see _gemv_val)
 # applies above config.wide_batch lanes
@@ -142,20 +145,49 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
                     xb, lo, dimension_numbers=dn, preferred_element_type=f32)
             return out
 
-        if split:
+        if split and not prec:
+            # fast default: nibble planes are bf16-EXACT (16 + nib), so
+            # with plain-bf16 scale rounding (the documented default
+            # class) the whole multiply chain stays in bf16 — one VPU
+            # pass at 2x bf16 throughput instead of an f32 multiply plus
+            # a round, and the expansion dot emits bf16 directly
+            pa = jnp.concatenate([pa_lo, pa_hi], axis=1)  # bf16
+            pb = jnp.concatenate([pb_lo, pb_hi], axis=1)
+            dn0 = (((0,), (0,)), ((), ()))
+            dn1 = (((1,), (1,)), ((), ()))
+
+            def sexp_b(rows):  # [g, m'] -> bf16 [m', k]
+                # (MXU dots must accumulate in f32 — Mosaic rejects a
+                # bf16 preferred_element_type; cast after)
+                return jax.lax.dot_general(
+                    rows.astype(jnp.bfloat16), e2, dimension_numbers=dn0,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+
+            def mdot_b(w_eff):  # bf16 [m', k] -> f32 [n, m']
+                return jax.lax.dot_general(
+                    xb, w_eff, dimension_numbers=dn1,
+                    preferred_element_type=f32,
+                )
+
+            y_a = mdot_b(pa * sexp_b(st[:, :m2]))
+            y_b = mdot_b(pb * sexp_b(st[:, m2:]))
+        elif split:
             # plane columns [lo | hi] line up with x's [first | second]
             # half packing, so st rows 0..g already match e2's groups
             pa = jnp.concatenate([pa_lo, pa_hi], axis=1).astype(f32)
             pb = jnp.concatenate([pb_lo, pb_hi], axis=1).astype(f32)
             s_rows = st
+            y_a = mdot2(pa * sexp2(s_rows[:, :m2]))
+            y_b = mdot2(pb * sexp2(s_rows[:, m2:]))
         else:
             # byte value u = 16·hi + lo; planes hold 16+nib, so lo+16·hi
             # gives u + 272 — the 272·s fold is in ``off`` already
             pa = pa_lo.astype(f32) + 16.0 * pa_hi.astype(f32)
             pb = pb_lo.astype(f32) + 16.0 * pb_hi.astype(f32)
             s_rows = st[:g]
-        y_a = mdot2(pa * sexp2(s_rows[:, :m2]))
-        y_b = mdot2(pb * sexp2(s_rows[:, m2:]))
+            y_a = mdot2(pa * sexp2(s_rows[:, :m2]))
+            y_b = mdot2(pb * sexp2(s_rows[:, m2:]))
 
         sx = jax.lax.dot_general(
             xb, e2, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -191,6 +223,33 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
         sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
         qa = (dot(xm, pa_lo), dot(xm, pa_hi))
         qb = (dot(xm, pb_lo), dot(xm, pb_hi))
+
+    if n > 2:
+        # vectorized reduction: Σ_g st[g, m']·P[n, g, m'] over ALL lanes
+        # at once (leading-dim reshapes of the dot outputs + a sublane
+        # sum) — the per-lane loop below serializes n small VPU passes.
+        # Codes contract in bf16 dots with f32 scales applied post-dot,
+        # so this strategy keeps the NARROW path's FMA-class exactness
+        # at wide batch (no bf16 dequant rounding).
+        def stackg(parts):  # [n*gh, m'] pieces -> [n, Gs, m']
+            return jnp.concatenate(
+                [p.reshape(n, gh, m2) for p in parts], axis=1
+            )
+        p_a = stackg(qa)
+        p_b = stackg(qb)
+        if split:
+            sx = jnp.concatenate(
+                [sxl.reshape(n, gh, 1), sxh.reshape(n, gh, 1)], axis=1
+            )  # [n, g, 1]
+        else:
+            sx = sxm.reshape(n, gh, 1)
+        y_a = jnp.sum(p_a * st[:, :m2][None], axis=1) - jnp.sum(
+            off[:, :m2][None] * sx, axis=1
+        )
+        y_b = jnp.sum(p_b * st[:, m2:][None], axis=1) - jnp.sum(
+            off[:, m2:][None] * sx, axis=1
+        )
+        return jnp.concatenate([y_a, y_b], axis=-1)  # [n, m]
 
     outs = []
     for nn in range(n):
@@ -370,7 +429,7 @@ def _layer_scan_kernel(
         st_j, off_j = st_off("rkv", j)
         rkv.append(
             _gemv_val(xin.astype(jnp.bfloat16), codes, st_j, off_j,
-                      split=rkv_split, m=mdim, k=C, wide=wide)
+                      split=rkv_split, m=mdim, k=C, wide=wide["rkv"])
         )
     r, k, v = rkv
 
@@ -463,7 +522,7 @@ def _layer_scan_kernel(
     wo_st, wo_off = st_off("wo")
     dx = _gemv_val(
         y_fl.astype(jnp.bfloat16), wrefs["wo"][0][0], wo_st, wo_off,
-        split=wo_split, m=C, k=C, wide=wide,
+        split=wo_split, m=C, k=C, wide=wide["wo"],
     )
     x = x + dx
     ash_out_ref[0] = sh + m_lane * (xx - sh)
@@ -477,14 +536,14 @@ def _layer_scan_kernel(
     fk_st, fk_off = st_off("fk")
     k_hid = _gemv_val(
         kx2.astype(jnp.bfloat16), wrefs["fk"][0][0], fk_st, fk_off,
-        split=fk_split, m=hidden, k=C, wide=wide,
+        split=fk_split, m=hidden, k=C, wide=wide["fk"],
     )
     k_hid = jnp.maximum(k_hid, 0.0)
     k_hid = k_hid * k_hid
     fv_st, fv_off = st_off("fv")
     vf = _gemv_val(
         k_hid.astype(jnp.bfloat16), wrefs["fv"][0][0], fv_st, fv_off,
-        split=fv_split, m=C, k=hidden, wide=wide,
+        split=fv_split, m=C, k=hidden, wide=wide["fv"],
     )
     x = x + vf
     fsh_out_ref[0] = fsh + m_lane * (xx2 - fsh)
@@ -795,6 +854,21 @@ def layer_scan7(
         full((B, 1)),
     ]
 
+    # Strategy above the narrow-batch threshold: measured all-wide for
+    # every in-kernel matrix. The MXU-tile cost model (row blocks are
+    # 128 wide; fewest weight-plane passes wins) predicts group-
+    # expansion should beat the wide form for the g=24 matrices at B=8,
+    # and it DOES for the standalone tiled kernels (the vocab head runs
+    # 3x faster narrow — see quant_matmul's hybrid dispatch), but inside
+    # the layer kernel the narrow form's [n·gh, m'] intermediates and 3D
+    # relayouts cost more than the saved tiles (in-session A/B,
+    # scripts/bench_hybrid_ab.py: all-wide 430.8 us/step vs hybrid 466.4
+    # vs narrow-except-fv 482.5 at B=8). _FORCE_WIDE overrides per tag
+    # for experiments.
+    wide = B > config.wide_batch
+    wide_map = (dict(_FORCE_WIDE) if _FORCE_WIDE is not None
+                else {tag: wide for tag in ("rkv", "wo", "fk", "fv")})
+
     kernel = functools.partial(
         _layer_scan_kernel,
         B=B, C=C, H=H, hs=hs, hidden=hidden, L=L, rescale=rescale,
@@ -803,13 +877,19 @@ def layer_scan7(
         native_tags=native_tags,
         lora_dims=s["lora_dims"],
         eps_ln=eps_ln, eps_gn=eps_gn, eps_l2=eps_l2,
-        wide=B > config.wide_batch,
+        wide=wide_map,
     )
 
+    # state outputs alias their input buffers (the recurrent state is
+    # consumed by this step): without this the decode scan must copy
+    # every step's new state back into the loop carry — at B=8 the WKV
+    # tensor alone is 18.9 MB of avoidable traffic per token
+    n_in = len(operands)
     x_out, ash, fsh, wkv = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=in_specs,
+        input_output_aliases={n_in - 4: 1, n_in - 3: 2, n_in - 2: 3},
         out_specs=(
             full((B, C)),
             blk((B, C)),

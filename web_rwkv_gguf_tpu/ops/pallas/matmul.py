@@ -585,6 +585,34 @@ def _gemv2_body(codes_ref, st, off, x_ref, out_ref, *, split, n, g, kdim,
         qb = (dot(xm, pb_lo), dot(xm, pb_hi))
 
     h = bm // 2
+    if n > 2:
+        # vectorized reduction (see layer7._gemv_val): Σ_g st·P over all
+        # lanes via leading-dim reshapes + one sublane sum — the per-lane
+        # loop below serializes n small VPU passes. Keeps the narrow
+        # path's FMA-class exactness at wide batch (scales post-dot in
+        # f32, no bf16 dequant rounding).
+        def stackg(parts):  # [n*gh, h] pieces -> [n, Gs, h]
+            return jnp.concatenate(
+                [p.reshape(n, gh, h) for p in parts], axis=1
+            )
+        p_a = stackg(qa)
+        p_b = stackg(qb)
+        if split:
+            sx = jnp.concatenate(
+                [sxl.reshape(n, gh, 1), sxh.reshape(n, gh, 1)], axis=1
+            )  # [n, g, 1]
+        else:
+            sx = sxm.reshape(n, gh, 1)
+        y_a = jnp.sum(p_a * st[:, :h][None], axis=1) - jnp.sum(
+            off[:, :h][None] * sx, axis=1
+        )
+        y_b = jnp.sum(p_b * st[:, h:][None], axis=1) - jnp.sum(
+            off[:, h:][None] * sx, axis=1
+        )
+        out_ref[:] = jnp.concatenate(
+            [y_a[:, None], y_b[:, None]], axis=1
+        ).reshape(2 * n, h)
+        return
     for nn in range(n):
         sl = slice(nn * gh, (nn + 1) * gh)
         p_a = jnp.concatenate([qa[0][sl], qa[1][sl]], axis=0)  # [Gs, bm/2]
@@ -727,12 +755,30 @@ def _gemv_kernel2w(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
         out_ref[2 * nn + 1 : 2 * nn + 2, :] = y_b[nn : nn + 1]
 
 
+def _narrow_wins(n, g, kdim, m, *, split) -> bool:
+    """True when the group-expansion (narrow) reduction needs no more
+    MXU weight-plane tile passes than the k-expanded wide form — row
+    blocks are 128 wide, so cost is tile counts, not FLOPs (the same
+    model as layer7.py's per-matrix strategy pick)."""
+    def t(r, kk, mm):
+        return -(-r // 128) * (-(-kk // 128)) * (-(-mm // 128))
+
+    gh = g // 2 if split else g
+    m2 = m // 2
+    narrow = 4 * t(n * gh, kdim, m2)
+    k_full = kdim * 2 if split else kdim
+    wide = 2 * t(m2, g, k_full) + 2 * t(n, k_full, m2)
+    return narrow <= wide
+
+
 def _quant_gemv2(x, codes, st, mnt, *, split, signed, m, k, kdim,
-                 gsize) -> jax.Array:
+                 gsize, narrow: bool | None = None) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
     bm = _gemv_block_m(m, kdim)
-    kfn = _gemv_kernel2w if n > config.wide_batch else _gemv_kernel2
+    if narrow is None:
+        narrow = n <= config.wide_batch
+    kfn = _gemv_kernel2 if narrow else _gemv_kernel2w
     kernel = functools.partial(
         kfn, split=split, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
         signed=signed,
@@ -1074,12 +1120,16 @@ def quant_matmul(
         and (kind not in ("qk", "nf4") or g % 2 == 0)
         and n * g * kdim * 2 <= (4 << 20)
     ):
-        # native scale-factor paths run the per-group (narrow) reduction —
-        # wider batches route to the k-expanded wide kernel below, whose
-        # f32 st/mnt operands cost more DMA but whose per-tile work is
-        # batch-independent (the narrow form's MXU work scales with n·g
-        # and its per-lane reduction loop serializes)
-        narrow = n <= config.wide_batch
+        # Reduction strategy: group-expansion (narrow) applies scales
+        # post-dot in f32 (exact, and the native-factor forms apply) but
+        # pays ceil(n·gh/128) MXU row blocks; the k-expanded wide form is
+        # batch-independent but adds a scale-expansion pass over the full
+        # weight plane. MXU row blocks are 128 wide — any n <= 128 dot
+        # costs the same as n = 128 — so the winner is whichever needs
+        # fewer weight-plane tile passes (same model as layer7.py).
+        narrow = n <= config.wide_batch or _narrow_wins(
+            n, g, kdim, m, split=kind in ("qk", "nf4")
+        )
         if (
             narrow and kind == "qk" and "stq" in arrays
             and arrays["stq"].shape == (g, m)
@@ -1119,7 +1169,7 @@ def quant_matmul(
                 return _quant_gemv2(
                     x, codes, pre_st, pre_mnt, split=split,
                     signed=codes.dtype == jnp.int8, m=m, k=k, kdim=kdim,
-                    gsize=gsize,
+                    gsize=gsize, narrow=narrow,
                 )
         if kind != "nf4" and scales.shape == (m, g):
             # f32 operands absent (slimmed direct load keeps only the
@@ -1135,7 +1185,7 @@ def quant_matmul(
                 return _quant_gemv2(
                     x, codes, st_d, off_d, split=kind == "qk",
                     signed=codes.dtype == jnp.int8, m=m, k=k, kdim=kdim,
-                    gsize=gsize,
+                    gsize=gsize, narrow=narrow,
                 )
         if kind != "nf4":
             # v1 fallback computes its (position-order) operands inline —
