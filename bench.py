@@ -147,9 +147,11 @@ def main():
 
     import jax
 
+    from web_rwkv_gguf_tpu.utils.compile_cache import enable_compilation_cache
     from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
 
-    log(f"device: {jax.devices()[0]}")
+    cache_dir = enable_compilation_cache()
+    log(f"device: {jax.devices()[0]}  (compile cache: {cache_dir})")
 
     from web_rwkv_gguf_tpu.models import prepare_decode
 

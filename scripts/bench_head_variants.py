@@ -323,3 +323,51 @@ def main_final():
 
 if __name__ == "__main__" and "--final" in sys.argv:
     main_final()
+
+
+def bench_bm_sweep(argv=None):
+    """Head gemv timing across M-tile sizes at a given batch:
+    python -c "import sys; sys.path.insert(0,'.'); \
+        from scripts.bench_head_variants import bench_bm_sweep; bench_bm_sweep()" [B]
+    """
+    import sys as _sys
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bench import log
+    from web_rwkv_gguf_tpu.ops.pallas import matmul as MM
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    B = int((argv or _sys.argv[1:] or ["1"])[0])
+    info, params = synthetic_v7_params(quant="q4k")
+    head = params["head"]
+    m, k = head.dims()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, k)).astype(np.float32))
+
+    real = MM._gemv_block_m
+    for bm in (8192, 4096, 2048, 1024):
+        MM._gemv_block_m = (lambda _bm: (lambda mm, kd=None: _bm if mm % _bm == 0 else real(mm, kd)))(bm)
+        try:
+            jf = jax.jit(lambda x: MM.quant_matmul(x, head.kind, head.arrays, m, k))
+            y = jf(x); _ = np.asarray(y)
+
+            def chain(n):
+                yy = x
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(n):
+                    o = jf(yy)
+                    yy = o[:, :k]
+                _ = np.asarray(o[:, :8])
+                return time.perf_counter() - t0
+            chain(4)
+            t1 = min(chain(16) for _ in range(3))
+            t2 = min(chain(48) for _ in range(3))
+            log(f"B={B} head bm={bm}: {1e6*(t2-t1)/32:8.1f} us/call")
+        except Exception as e:
+            log(f"B={B} head bm={bm}: FAILED {str(e)[:90]}")
+        finally:
+            MM._gemv_block_m = real

@@ -429,3 +429,26 @@ def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
     importlib.reload(cc)
     monkeypatch.setenv("WEB_RWKV_TPU_CACHE", "0")
     assert cc.enable_compilation_cache() is None
+
+
+def test_engine_decode_precise_knob():
+    """Engine(decode_precise=) surfaces the wide-batch accuracy class
+    (config.wide_precise): True pins the double-bf16 exact path, False
+    the plain-bf16 default; None leaves the process setting alone."""
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import load_model
+    from web_rwkv_gguf_tpu.ops.pallas import config as pcfg
+    from web_rwkv_gguf_tpu.runtime import Engine
+
+    info, params = load_model(GgufFile(fixtures.make_v7_gguf()))
+    before = pcfg.wide_precise
+    try:
+        Engine(info, params, num_batch=1, decode_precise=True)
+        assert pcfg.wide_precise is True
+        Engine(info, params, num_batch=1, decode_precise=False)
+        assert pcfg.wide_precise is False
+        pcfg.wide_precise = True
+        Engine(info, params, num_batch=1)  # None: untouched
+        assert pcfg.wide_precise is True
+    finally:
+        pcfg.wide_precise = before

@@ -5,16 +5,29 @@ import jax
 enabled: bool = True
 interpret: bool = False  # force interpreter mode (debugging / CPU tests)
 
-# wide-batch gemv: True keeps the double-bf16 correction terms (error
-# ~2^-16) at ~+35% step time (measured B=4: 607 vs 462 us/step). The
-# default False uses plain bf16 dequant rounding (~2^-9) — the same
-# precision class as the XLA fallback path and the reference's f16
-# shaders. Narrow-batch (B <= wide_batch) decode is exact either way.
-wide_precise: bool = False
+# wide-batch gemv accuracy class. True (default) keeps the double-bf16
+# correction terms (error ~2^-16, FMA-class — uniform with narrow-batch
+# decode), measured at only 1.07x the plain path's step time after the
+# round-3 bf16 fast-multiply work (B=8 layer stack: 621.4 vs 578.7
+# us/step in-session, scripts/bench_step_composition.py — down from
+# +35% in round 2, which met the flip-the-default bar). False selects
+# plain bf16 dequant rounding (~2^-9, the XLA-fallback / reference-f16
+# class) for maximum wide-batch throughput; Engine(decode_precise=)
+# surfaces the knob. Narrow-batch (B <= wide_batch) is exact either way.
+wide_precise: bool = True
 
 # smallest batch routed to the `wide` gemv strategy in the layer-scan
 # kernel (below/equal: group-expansion). Read at trace time.
 wide_batch: int = 2
+
+# slab (prefill) kernel: token count at/above which per-group scales
+# expand across lanes on the VPU (broadcast+concat) instead of the MXU
+# 0/1-mask dot. The crossover is real and N-dependent (in-session A/B,
+# scripts/bench_prefill_ab.py): at T=256 the expansion dot rides the
+# MXU for free next to a 2-row-block gemm while the VPU is the busy
+# unit (101.1k vs 87.8k tok/s), but at T=1024 the gemm saturates the
+# MXU and the VPU form wins (153.6k vs 138.4k, 0.89x dense bf16).
+slab_vpu_expand_min_n: int = 512
 
 # T==1 (decode) WKV runs as plain XLA ops fused into the surrounding
 # step instead of a Pallas call: the kernel's fixed block-DMA cost

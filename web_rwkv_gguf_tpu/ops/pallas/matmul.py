@@ -108,6 +108,18 @@ def _kernel(x_ref, codes_ref, scales_ref, *rest, kind, gsize, k, slab,
         return c.astype(jnp.float32)
 
     def expand(sc_block, width):
+        if x.shape[0] >= config.slab_vpu_expand_min_n:
+            # lane-broadcast concat on the VPU: frees the MXU of the
+            # expansion pass. Wins once the main gemm saturates the MXU
+            # (large N); below the threshold the dot rides the MXU for
+            # free while the VPU is the busy unit (widen + multiply) —
+            # see config.slab_vpu_expand_min_n for the measured A/B.
+            tm = sc_block.shape[0]
+            parts = [
+                jnp.broadcast_to(sc_block[:, j : j + 1], (tm, gsize))
+                for j in range(sc_block.shape[-1])
+            ]
+            return jnp.concatenate(parts, axis=1)
         # [TM, Gw] f32 @ [Gw, width] f32 → [TM, width] f32 (MXU)
         return _dotf32(sc_block, eslab_ref[: sc_block.shape[-1], :width])
 

@@ -83,6 +83,7 @@ class Engine:
         seq_parallel: bool = False,
         seq_parallel_min_t: int = 64,
         pipeline_microbatches: int | None = None,
+        decode_precise: bool | None = None,
     ):
         if tp_mode not in ("gspmd", "shard_map"):
             raise EngineError(f"unknown tp_mode {tp_mode!r}")
@@ -92,6 +93,19 @@ class Engine:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if decode_precise is not None:
+            # Decode accuracy class for batches above ~2 lanes: the wide
+            # gemv strategy defaults to plain-bf16 dequant rounding
+            # (~2^-9 relative on activations — the same class as the XLA
+            # fallback and the reference's f16 shaders); True enables
+            # the double-bf16 correction (~2^-16, FMA-class) at ~+35%
+            # step time. Narrow batches (B <= 2) are exact either way.
+            # NOTE: this is a process-wide trace-time switch
+            # (ops.pallas.config.wide_precise) — it applies to every
+            # engine compiled after this point.
+            from ..ops.pallas import config as _pcfg
+
+            _pcfg.wide_precise = bool(decode_precise)
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
