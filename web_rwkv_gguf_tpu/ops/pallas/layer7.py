@@ -45,8 +45,11 @@ _FORCE_WIDE = None
 
 # largest decode batch routed through the layer-scan kernel; the `wide`
 # gemv strategy (scales expanded into the code planes, see _gemv_val)
-# applies above config.wide_batch lanes
-MAX_SCAN_BATCH = 8
+# applies above config.wide_batch lanes. B=16 compiles and holds B=8's
+# per-lane cost (in-session: 1242.9 us/step vs 578.7 at B=8, same
+# ~72-78 us/lane — state DMA and the attention core scale with B while
+# the wide gemv's MXU tiles stay batch-independent); B=32 exceeds VMEM.
+MAX_SCAN_BATCH = 16
 
 
 # ---------------------------------------------------------------------------
