@@ -70,7 +70,12 @@ def _unflatten(prefix, arrays, manifest, jnp):
             from ..models.matrix import recompute_gemv_arrays
 
             m, k = mat.dims()
-            mat.arrays.update(recompute_gemv_arrays(entry["kind"], mat_arrays, m, k))
+            mat.arrays.update({
+                kk: jnp.asarray(v)  # rebuild is numpy (see matrix._dev)
+                for kk, v in recompute_gemv_arrays(
+                    entry["kind"], mat_arrays, m, k
+                ).items()
+            })
         return mat
     if entry["type"] == "dict":
         return {k: _unflatten(f"{prefix}/{k}", arrays, manifest, jnp) for k in entry["keys"]}

@@ -160,9 +160,12 @@ class _Loader:
             w = w * discount
         return w
 
-    def matrix(self, name: str, layer: int | None = None, discount: float = 1.0) -> Matrix:
+    def matrix(self, name: str, layer: int | None = None, discount: float = 1.0,
+               device: bool = True) -> Matrix:
         """Load a big matrix honoring quant config and the direct-quantized
-        GGUF path (ref: loader.rs:756-921)."""
+        GGUF path (ref: loader.rs:756-921). ``device=False`` keeps the
+        arrays in numpy so per-layer matrices can be stacked host-side
+        and transferred once (_stack_matrices)."""
         scheme = self.quant.get(layer, QuantScheme.NONE) if layer is not None else QuantScheme.NONE
         has_lora = bool(self._lora_matrices(name))
         if discount == 1.0 and not has_lora and hasattr(self.reader, "quantized_tensor"):
@@ -171,15 +174,20 @@ class _Loader:
                 dtype, raw = qt
                 shape = self.reader.shape(name)
                 try:
-                    return Matrix.from_gguf_blocks(dtype, raw, shape)
+                    return Matrix.from_gguf_blocks(dtype, raw, shape,
+                                                   device=device)
                 except ValueError:
                     pass
         w = self.matrix_f32(name, discount)
-        return Matrix.from_f16(w.astype(np.float16), scheme, self.dtype)
+        return Matrix.from_f16(w.astype(np.float16), scheme, self.dtype,
+                               device=device)
 
 
-def _stack(items: list[np.ndarray]) -> jnp.ndarray:
-    return jnp.asarray(np.stack(items))
+def _stack(items: list[np.ndarray]) -> np.ndarray:
+    # numpy on purpose: the whole load path stays host-side and a single
+    # tree-wide device transfer runs at the end of load_model (eager jnp
+    # ops each cost a remote XLA compile over this environment's tunnel)
+    return np.stack(items)
 
 
 def _stack_matrices(mats: list[Matrix]):
@@ -192,7 +200,15 @@ def _stack_matrices(mats: list[Matrix]):
     shape = mats[0].shape
     if any(m.kind != kind or m.shape != shape for m in mats):
         return mats
-    arrays = {k: jnp.stack([m.arrays[k] for m in mats]) for k in mats[0].arrays}
+    # stack HOST-side: per-layer arrays at load time are freshly-uploaded
+    # numpy-origin buffers, and an eager jnp.stack is a compiled XLA
+    # concatenate — one remote compile per array shape (~0.4 s each over
+    # this environment's tunnel; 36 of them made a tiny model take 14.5 s
+    # to load). np.stack + one device_put per stacked array instead.
+    arrays = {
+        k: np.stack([np.asarray(m.arrays[k]) for m in mats])
+        for k in mats[0].arrays
+    }
     return Matrix(kind, shape, arrays)
 
 
@@ -224,7 +240,10 @@ def pad_matrix_rows(mat, multiple: int = 512):
         # padded matrix falls back to the f32 operand path
         if key not in ("st", "mnt", "stq", "mnq", "sd", "sdm", "scq", "sdn")
     }
-    arrays.update(recompute_gemv_arrays(mat.kind, arrays, m + pad, k))
+    arrays.update({
+        key: jnp.asarray(v)  # rebuild is numpy (see matrix._dev)
+        for key, v in recompute_gemv_arrays(mat.kind, arrays, m + pad, k).items()
+    })
     return Matrix(mat.kind, (m + pad, k), arrays)
 
 
@@ -457,7 +476,11 @@ def load_model(
         out = []
         for i in range(L):
             d = 2.0 ** -(i // rescale) if discounted else 1.0
-            out.append(ld.matrix(fmt.format(i=i), layer=i, discount=d))
+            # device=False: arrays stay numpy so the stack below is one
+            # host-side np.stack + one transfer per array (instead of L
+            # uploads + an eager jnp.stack compile per shape)
+            out.append(ld.matrix(fmt.format(i=i), layer=i, discount=d,
+                                 device=False))
         return _stack_matrices(out)
 
     def dense_f32(fmt):
@@ -467,8 +490,15 @@ def load_model(
         """Small dense adapter matrices in the model compute dtype (the
         reference stores/loads these as F16 and matmuls them with its
         fp16 shaders, loader.rs:104-132 + matmul_vec_fp16; bf16 here
-        halves their decode HBM traffic vs f32)."""
-        return dense_f32(fmt).astype(dtype)
+        halves their decode HBM traffic vs f32). Converted HOST-side —
+        an eager device astype is a remote XLA compile per shape."""
+        import ml_dtypes
+
+        np_dtype = (ml_dtypes.bfloat16 if dtype == jnp.bfloat16
+                    else np.dtype(dtype))
+        return np.stack(
+            [ld.matrix_f32(fmt.format(i=i)) for i in range(L)]
+        ).astype(np_dtype)
 
     if version == ModelVersion.V4:
         blocks["att"] = {
@@ -531,7 +561,7 @@ def load_model(
             "time_decay": vecs("blocks.{i}.att.time_decay"),  # raw; activated in fwd
             "time_first": vecs("blocks.{i}.att.time_first").reshape(L, H, hs),
             "mix_x": vecs("blocks.{i}.att.time_mix_x"),
-            "time_mix": jnp.asarray(time_mix),
+            "time_mix": np.asarray(time_mix),
             "tm_w1": dense_d("blocks.{i}.att.time_mix_w1"),  # [L, 5r, C]
             "tm_w2": dense_d("blocks.{i}.att.time_mix_w2"),  # [L, 5, C, r]
             "td_w1": dense_d("blocks.{i}.att.time_decay_w1"),  # [L, D, C]
@@ -596,14 +626,14 @@ def load_model(
         # decode fast-path stacks: one lerp serves all six token shifts,
         # two MXU dots serve all four inner-LoRA adapter pairs (forward's
         # _lora_stacked masks the cross blocks to exact zeros)
-        att["x_stack"] = jnp.stack(
-            [att[f"x_{s}"] for s in "rwkvag"], axis=1
+        att["x_stack"] = np.stack(
+            [np.asarray(att[f"x_{s}"]) for s in "rwkvag"], axis=1
         )  # [L, 6, C]
-        att["lora_down"] = jnp.concatenate(
-            [att["w1"], att["a1"], att["g1"], att["v1"]], axis=1
+        att["lora_down"] = np.concatenate(
+            [np.asarray(att[k]) for k in ("w1", "a1", "g1", "v1")], axis=1
         )  # [L, D, C], D = dw+da+dg+dv
-        att["lora_up"] = jnp.concatenate(
-            [att["w2"], att["a2"], att["g2"], att["v2"]], axis=2
+        att["lora_up"] = np.concatenate(
+            [np.asarray(att[k]) for k in ("w2", "a2", "g2", "v2")], axis=2
         )  # [L, C, D]
         blocks["ffn"] = {
             "x_k": vecs("blocks.{i}.ffn.x_k"),
@@ -615,6 +645,12 @@ def load_model(
         log.info("mixed per-layer quantization: using per-layer (unrolled) form")
         blocks = _to_per_layer(blocks, L)
     params["blocks"] = blocks
+    # single tree-wide device transfer: everything above computed in
+    # numpy (stacks, dtype casts, LoRA blends) — 36 eager jnp ops here
+    # used to cost 14.5 s of remote XLA compiles for a tiny model
+    params = jax.tree.map(
+        lambda a: a if isinstance(a, jax.Array) else jnp.asarray(a), params
+    )
     return info, params
 
 

@@ -48,9 +48,9 @@ def _gemv_scale_arrays(m: int, k: int, scales, mins, kdim: int | None = None) ->
         a = np.asarray(a, np.float32).reshape(m // bm, bm // 4, 4, g)
         return np.ascontiguousarray(a.transpose(3, 0, 2, 1).reshape(g, m))
 
-    out = {"st": jnp.asarray(to_pos(scales))}
+    out = {"st": to_pos(scales)}  # numpy: see _dev
     if mins is not None:
-        out["mnt"] = jnp.asarray(to_pos(mins))
+        out["mnt"] = to_pos(mins)
     return out
 
 
@@ -125,8 +125,21 @@ def recompute_gemv_arrays(
         ]
         if not outs or not outs[0]:
             return {}
-        return {key: jnp.stack([o[key] for o in outs]) for key in outs[0]}
+        return {key: np.stack([np.asarray(o[key]) for o in outs])
+                for key in outs[0]}
     return {}
+
+
+def _dev(arrays: dict, device: bool = True) -> dict:
+    """Final numpy -> device transfer for a load-time array dict. The
+    whole load path computes in numpy (eager jnp ops each trigger a
+    remote XLA compile over this environment's tunnel — 36 of them made
+    a tiny model take 14.5 s to load); device=False keeps numpy so the
+    stacked loader can np.stack per-layer matrices host-side and
+    transfer once."""
+    if not device:
+        return arrays
+    return {k: jnp.asarray(v) for k, v in arrays.items()}
 
 
 def _native_b_arrays(factors, m, k) -> dict:
@@ -137,10 +150,7 @@ def _native_b_arrays(factors, m, k) -> dict:
 
     sc, mn, d, dmin = factors
     arrays = dict(build_gemv_operands_native(sc, mn, d, dmin, m, k, k))
-    arrays.update({
-        "sc6": jnp.asarray(sc), "mn6": jnp.asarray(mn),
-        "d8": jnp.asarray(d), "dm8": jnp.asarray(dmin),
-    })
+    arrays.update({"sc6": sc, "mn6": mn, "d8": d, "dm8": dmin})
     return arrays
 
 
@@ -168,18 +178,30 @@ class Matrix:
 
     @classmethod
     def from_f16(
-        cls, w: np.ndarray, scheme: qf.QuantScheme, dtype=jnp.bfloat16
+        cls, w: np.ndarray, scheme: qf.QuantScheme, dtype=jnp.bfloat16,
+        device: bool = True,
     ) -> "Matrix":
         """Build from a dense [M, K] matrix with optional engine requant
         (ref: Quant::{None,Int8,NF4,SF4}, src/tensor/matrix.rs:211-271)."""
+        import ml_dtypes
+
         m, k = w.shape
+        # dtype conversion HOST-side (ml_dtypes covers bf16): an eager
+        # device-side astype is a remote XLA compile per shape (see _dev)
+        np_dtype = np.dtype(dtype) if dtype != jnp.bfloat16 else ml_dtypes.bfloat16
+
+        def dense(arr):
+            arr = np.asarray(arr).astype(np_dtype)
+            return cls("dense", tuple(arr.shape[-2:]),
+                       _dev({"w": arr}, device))
+
         if scheme == qf.QuantScheme.NONE:
-            return cls.dense(jnp.asarray(np.asarray(w), dtype))
+            return dense(w)
         block = qf.INT8_BLOCK_SIZE if scheme == qf.QuantScheme.INT8 else qf.NF4_BLOCK_SIZE
         if k % block:
             # row-aligned block layout needs K divisible by the block size;
             # tiny matrices stay dense
-            return cls.dense(jnp.asarray(np.asarray(w), dtype))
+            return dense(w)
         if scheme == qf.QuantScheme.INT8:
             codes, mn, mx = qf.quantize_int8(np.asarray(w, np.float32))
             g = qf.INT8_BLOCK_SIZE
@@ -188,12 +210,12 @@ class Matrix:
             return cls(
                 "int8",
                 (m, k),
-                {
-                    "codes": jnp.asarray(codes.reshape(m, k)),
-                    "mn": jnp.asarray(mn2),
-                    "mx": jnp.asarray(mx2),
+                _dev({
+                    "codes": codes.reshape(m, k),
+                    "mn": mn2,
+                    "mx": mx2,
                     **_gemv_ops("int8", (mx2 - mn2) / 255.0, mn2, m, k, k, False),
-                },
+                }, device),
             )
         if scheme in (qf.QuantScheme.NF4, qf.QuantScheme.SF4):
             lut = qf.NF4_QUANTILES if scheme == qf.QuantScheme.NF4 else qf.sf4_quantiles()
@@ -203,21 +225,22 @@ class Matrix:
             return cls(
                 "nf4",
                 (m, k),
-                {
-                    "codes": jnp.asarray(packed.reshape(m, k // 2)),
-                    "absmax": jnp.asarray(am),
-                    "lut": jnp.asarray(lut),
+                _dev({
+                    "codes": packed.reshape(m, k // 2),
+                    "absmax": am,
+                    "lut": np.asarray(lut),
                     # tiled-absmax position-ordered scale operand for the
                     # fused LUT gemv (lo/hi planes share the per-64 group)
                     **_gemv_scale_arrays(
                         m, k, np.concatenate([am, am], -1), None, kdim=k // 2
                     ),
-                },
+                }, device),
             )
         raise LoaderError(f"unsupported scheme {scheme}")
 
     @classmethod
-    def from_gguf_blocks(cls, dtype: GgmlDType, raw: np.ndarray, shape) -> "Matrix":
+    def from_gguf_blocks(cls, dtype: GgmlDType, raw: np.ndarray, shape,
+                         device: bool = True) -> "Matrix":
         """Direct-quantized load: repack raw GGML blocks into TPU-friendly
         structured arrays (consecutive nibble order, de-interleaved scales).
 
@@ -247,9 +270,9 @@ class Matrix:
         if dtype == GgmlDType.Q4_K:
             codes, scales, mins = repack.repack_q4_k(raw, m, k)
             arrays = {
-                "codes": jnp.asarray(codes),
-                "scales": jnp.asarray(scales),
-                "mins": jnp.asarray(mins),
+                "codes": codes,
+                "scales": scales,
+                "mins": mins,
                 **_gemv_ops("qk", scales, mins, m, k, k // 2, False),
             }
             factors = repack.q4k_scale_factors(raw, m, k)
@@ -266,26 +289,25 @@ class Matrix:
                     build_gemv_operands_native(sc6, mn6, d8, dm8, m, k, k // 2)
                 )
                 arrays.update({
-                    "sc6": jnp.asarray(sc6), "mn6": jnp.asarray(mn6),
-                    "d8": jnp.asarray(d8), "dm8": jnp.asarray(dm8),
+                    "sc6": sc6, "mn6": mn6, "d8": d8, "dm8": dm8,
                 })
-            return cls("qk", (m, k), slim(arrays))
+            return cls("qk", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q5_K:
             codes, scales, mins = repack.repack_q5_k(raw, m, k)
             arrays = {
-                "codes": jnp.asarray(codes),
-                "scales": jnp.asarray(scales),
-                "mins": jnp.asarray(mins),
+                "codes": codes,
+                "scales": scales,
+                "mins": mins,
                 **_gemv_ops("qk_b", scales, mins, m, k, k, False),
             }
             factors = repack.q5k_scale_factors(raw, m, k)
             if factors is not None:
                 arrays.update(_native_b_arrays(factors, m, k))
-            return cls("qk_b", (m, k), slim(arrays))
+            return cls("qk_b", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q6_K:
             codes, scales = repack.repack_q6_k(raw, m, k)
             arrays = {
-                "codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                "codes": codes, "scales": scales,
                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
                             codes.dtype == np.int8),
             }
@@ -299,21 +321,21 @@ class Matrix:
                 arrays.update(
                     build_gemv_operands_native_nomin(sc8, d8, m, k, k)
                 )
-                arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
-            return cls("qk_nomin", (m, k), slim(arrays))
+                arrays.update({"q6s": sc8, "q6d": d8})
+            return cls("qk_nomin", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q8_0:
             codes, scales = repack.repack_q8_0(raw, m, k)
             return cls(
                 "qk_nomin",
                 (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
-                             codes.dtype == np.int8)},
+                _dev({"codes": codes, "scales": scales,
+                      **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                                  codes.dtype == np.int8)}, device),
             )
         if dtype == GgmlDType.Q3_K:
             codes, scales = repack.repack_q3_k(raw, m, k)
             arrays = {
-                "codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
+                "codes": codes, "scales": scales,
                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
                             codes.dtype == np.int8),
             }
@@ -327,28 +349,28 @@ class Matrix:
                 arrays.update(
                     build_gemv_operands_native_nomin(sc8, d8, m, k, k)
                 )
-                arrays.update({"q6s": jnp.asarray(sc8), "q6d": jnp.asarray(d8)})
-            return cls("qk_nomin", (m, k), slim(arrays))
+                arrays.update({"q6s": sc8, "q6d": d8})
+            return cls("qk_nomin", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q2_K:
             codes, scales, mins = repack.repack_q2_k(raw, m, k)
             arrays = {
-                "codes": jnp.asarray(codes),
-                "scales": jnp.asarray(scales),
-                "mins": jnp.asarray(mins),
+                "codes": codes,
+                "scales": scales,
+                "mins": mins,
                 **_gemv_ops("qk_b", scales, mins, m, k, k, False),
             }
             factors = repack.q2k_scale_factors(raw, m, k)
             if factors is not None:
                 arrays.update(_native_b_arrays(factors, m, k))
-            return cls("qk_b", (m, k), slim(arrays))
+            return cls("qk_b", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q4_0:
             codes, scales = repack.repack_q4_0(raw, m, k)
             return cls(
                 "qk_nomin",
                 (m, k),
-                {"codes": jnp.asarray(codes), "scales": jnp.asarray(scales),
-                 **_gemv_ops("qk_nomin", scales, None, m, k, k,
-                             codes.dtype == np.int8)},
+                _dev({"codes": codes, "scales": scales,
+                      **_gemv_ops("qk_nomin", scales, None, m, k, k,
+                                  codes.dtype == np.int8)}, device),
             )
         raise UnsupportedTensorType(f"no direct-quantized repack for {dtype!r}")
 

@@ -317,7 +317,9 @@ def build_gemv_operands(kind, scales, mins, m, k, kdim, signed) -> dict:
             off = tile_halves(np.asarray(mins, np.float32) + 272.0 * scales)
         else:  # qk_nomin
             off = tile_halves((272.0 + (128.0 if signed else 0.0)) * scales)
-    return {"st": jnp.asarray(st), "mnt": jnp.asarray(off)}
+    # numpy on purpose: load-time callers stack per-layer operands
+    # host-side and device-transfer once (Matrix handles the conversion)
+    return {"st": st, "mnt": off}
 
 
 def _derive_gemv_operands_traced(kind, scales, mins, m, kdim, *, signed):
@@ -371,10 +373,10 @@ def build_gemv_operands_native(sc, mn, d, dmin, m, k, kdim) -> dict:
         return np.ascontiguousarray(a.reshape(sh))
 
     return {
-        "stq": jnp.asarray(tile(sc)),  # u8 [g, m]
-        "mnq": jnp.asarray(tile(mn)),  # u8 [g, m]
-        "sd": jnp.asarray(tile(np.asarray(d, np.float32))),  # f32 [g/8, m]
-        "sdm": jnp.asarray(tile(np.asarray(dmin, np.float32))),
+        "stq": tile(np.asarray(sc, np.uint8)),  # u8 [g, m]
+        "mnq": tile(np.asarray(mn, np.uint8)),  # u8 [g, m]
+        "sd": tile(np.asarray(d, np.float32)),  # f32 [g/8, m]
+        "sdm": tile(np.asarray(dmin, np.float32)),
     }
 
 
@@ -405,8 +407,8 @@ def build_gemv_operands_native_nomin(sc, d, m, k, kdim) -> dict:
         return np.ascontiguousarray(a.reshape(sh))
 
     return {
-        "scq": jnp.asarray(tile(np.asarray(sc, np.int8))),
-        "sdn": jnp.asarray(tile(np.asarray(d, np.float32))),
+        "scq": tile(np.asarray(sc, np.int8)),
+        "sdn": tile(np.asarray(d, np.float32)),
     }
 
 

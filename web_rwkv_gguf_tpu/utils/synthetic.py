@@ -262,10 +262,16 @@ def synthetic_v7_params(
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
             for wi in w2:
                 raw = np.frombuffer(qfn(wi.reshape(-1)), np.uint8)
-                per.append(Matrix.from_gguf_blocks(qdt, raw, wi.shape))
+                # numpy arrays; stacked host-side then transferred once
+                per.append(Matrix.from_gguf_blocks(qdt, raw, wi.shape,
+                                                   device=False))
             if len(shape) == 2:
-                return per[0]
-            arrays = {k: jnp.stack([m.arrays[k] for m in per]) for k in per[0].arrays}
+                return Matrix(per[0].kind, per[0].shape,
+                              {k: jnp.asarray(a) for k, a in per[0].arrays.items()})
+            arrays = {
+                k: jnp.asarray(np.stack([m.arrays[k] for m in per]))
+                for k in per[0].arrays
+            }
             return Matrix(per[0].kind, per[0].shape, arrays)
         return Matrix.dense(jnp.asarray(w, dtype))
 
