@@ -187,6 +187,10 @@ def main():
         q4k_percall = _bench_decode_percall(info, params_q8)
         del params_q8
         log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
+        params_q16 = prepare_decode(params_q, info, batch_hint=16)
+        q4k_decode16 = _bench_decode(info, params_q16, B=16)
+        del params_q16
+        log(f"decode  Q4_K fused-loop batch16: {q4k_decode16:.1f} tok/s")
         q4k_prefill = _bench_prefill(info, params_q)
         log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
         # Engine(prefill_dense=True) path: prefill against one-time-cached
@@ -206,6 +210,22 @@ def main():
         bf16_prefill = _bench_prefill(info, params_d)
         log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
         del params_d
+
+        # end-to-end GGUF load time (parse + repack + operand build +
+        # one device transfer sweep) on a small real file — the
+        # reference's bench_format load metric (plan.md:107-108)
+        from web_rwkv_gguf_tpu.gguf import GgufFile
+        from web_rwkv_gguf_tpu.models import load_model
+        from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+        from web_rwkv_gguf_tpu.utils.synthetic import make_v7_gguf
+
+        raw = make_v7_gguf(n_layer=4, n_emb=256, head_size=64, n_vocab=2048,
+                           quantize=GgmlDType.Q4_K)
+        t0 = time.perf_counter()
+        _info_l, _params_l = load_model(GgufFile(raw))
+        _ = np.asarray(jax.tree.leaves(_params_l)[0]).ravel()[:1]
+        log(f"gguf load (L4 C256 V2048 Q4_K): {time.perf_counter()-t0:.2f}s")
+        del _params_l, raw
 
         # true Q4_K_M placement (llama.cpp: Q6_K output head) — last so a
         # slow model build cannot starve the extras above
