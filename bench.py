@@ -189,8 +189,16 @@ def main():
         log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
         params_q16 = prepare_decode(params_q, info, batch_hint=16)
         q4k_decode16 = _bench_decode(info, params_q16, B=16)
-        del params_q16
         log(f"decode  Q4_K fused-loop batch16: {q4k_decode16:.1f} tok/s")
+        # plain-bf16 wide path (decode_precise=False): the max-throughput
+        # accuracy class for batched serving (default is FMA-exact)
+        from web_rwkv_gguf_tpu.ops.pallas import config as _pcfg
+
+        _pcfg.wide_precise = False
+        q4k_decode16f = _bench_decode(info, params_q16, B=16)
+        _pcfg.wide_precise = True
+        del params_q16
+        log(f"decode  Q4_K batch16 plain-bf16: {q4k_decode16f:.1f} tok/s")
         q4k_prefill = _bench_prefill(info, params_q)
         log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
         # Engine(prefill_dense=True) path: prefill against one-time-cached
