@@ -197,3 +197,63 @@ def test_tp_hooks_and_embeds():
     xe, _ = fwd_e(sp, shard_state(init_state(info, B), mesh),
                   jnp.asarray(emb), lens)
     np.testing.assert_allclose(np.asarray(xe), w, **tol)
+
+
+def test_tp_shard_keeps_native_operands():
+    """256-aligned quantized matrices keep their NATIVE scale-factor
+    operands under TP: rebuilt per shard from the raw row-major factor
+    arrays so multi-chip decode keeps the reduced scale DMA (VERDICT
+    round-2 item 6), matching a fresh per-shard build exactly."""
+    from web_rwkv_gguf_tpu.ops.pallas.matmul import build_gemv_operands_native
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    raw = fixtures.make_v7_gguf(
+        n_layer=2, n_emb=256, head_size=64, n_vocab=256, n_hidden=256,
+        quantize=GgmlDType.Q4_K,
+    )
+    info, params = load_model(GgufFile(raw), dtype=jnp.float32)
+    wk = params["blocks"]["att"]["Wk"]
+    assert "stq" in wk.arrays and "sc6" in wk.arrays  # native + raw kept
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params_tp(params, mesh, info)
+    mat = sp["blocks"]["att"]["Wk"]
+    n = mesh.shape["model"]
+    for key in ("stq", "mnq", "sd", "sdm"):
+        assert key in mat.arrays, key
+        assert mat.arrays[key].sharding.spec[-1] == "model", key
+
+    # first shard's tiled operands == a fresh build from its row range
+    L, mdim, kdim = mat.arrays["codes"].shape
+    m_loc = mdim // n
+    sc6 = np.asarray(mat.arrays["sc6"])[0, :m_loc]
+    mn6 = np.asarray(mat.arrays["mn6"])[0, :m_loc]
+    d8 = np.asarray(mat.arrays["d8"])[0, :m_loc]
+    dm8 = np.asarray(mat.arrays["dm8"])[0, :m_loc]
+    want = build_gemv_operands_native(sc6, mn6, d8, dm8, m_loc, kdim * 2, kdim)
+    np.testing.assert_array_equal(
+        np.asarray(mat.arrays["stq"])[0, :, :m_loc], np.asarray(want["stq"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat.arrays["sd"])[0, :, :m_loc], np.asarray(want["sd"])
+    )
+
+
+def test_prepare_decode_batch16_mega():
+    """prepare_decode routes batch hints up to MAX_SCAN_BATCH (16)
+    through the whole-stack kernel and larger ones to unroll_params."""
+    from web_rwkv_gguf_tpu.models import prepare_decode
+    from web_rwkv_gguf_tpu.ops.pallas import config as pcfg
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q4k",
+    )
+    interp = pcfg.interpret
+    pcfg.interpret = True  # use_pallas() truthy on the CPU test backend
+    try:
+        assert "mega7" in prepare_decode(params, info, batch_hint=16)
+        assert "mega7" not in prepare_decode(params, info, batch_hint=17)
+    finally:
+        pcfg.interpret = interp
