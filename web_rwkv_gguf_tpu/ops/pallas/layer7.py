@@ -57,7 +57,7 @@ MAX_SCAN_BATCH = 16
 # ---------------------------------------------------------------------------
 
 
-def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
+def _gemv_val(x, codes, st, off, *, split, m, k, wide=False, field1=False):
     """y[n, m] = x @ Wᵀ for one mega-arranged quantized matrix, as values.
 
     Nibble planes are turned into PACKED bf16 pairs by pure bit surgery:
@@ -84,22 +84,39 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
       n = 8 the group-expansion form would pay 8× the expansion cost in
       the main dots (prohibitive for the FFN value matrix, g = 84);
       this form pays it once.
+
+    ``field1``: single-field byte planes — for codes prep-biased into
+    [0, 127] the WHOLE byte becomes an exact bf16 plane via
+    ``0x4300 | u = bf16(128 + u)`` (the [128, 256) binade holds integers
+    7-bit-exactly): 2 planes instead of 4, no [s;16s] stacking (st has g
+    rows), half the unpack and plane-dot work. Used for Q6_K/Q3_K
+    (codes +64-rebased at prep) and Q5_K/Q2_K (already unsigned).
     """
     n = x.shape[0]
     kdim = codes.shape[-1]
     m2 = m // 2
     w = pltpu.bitcast(codes, jnp.int32)  # [m/4, kdim]
-    c0 = jnp.int32(0x41804180)
-    mk = jnp.int32(0x000F000F)
-    # bf16 [m/2, kdim]: plane A col c ↔ arranged row 2c (logical c),
-    # plane B col c ↔ arranged row 2c+1 (logical m/2 + c)
-    pa_lo = pltpu.bitcast(c0 | ((w & mk) << 3), jnp.bfloat16)
-    pb_lo = pltpu.bitcast(c0 | (((w >> 8) & mk) << 3), jnp.bfloat16)
-    pa_hi = pltpu.bitcast(c0 | (((w >> 4) & mk) << 3), jnp.bfloat16)
-    pb_hi = pltpu.bitcast(c0 | (((w >> 12) & mk) << 3), jnp.bfloat16)
+    if field1:
+        base = jnp.int32(0x43004300)
+        mk7 = jnp.int32(0x007F007F)
+        pa_lo = pltpu.bitcast(base | (w & mk7), jnp.bfloat16)
+        pb_lo = pltpu.bitcast(base | ((w >> 8) & mk7), jnp.bfloat16)
+        pa_hi = pb_hi = None
+    else:
+        c0 = jnp.int32(0x41804180)
+        mk = jnp.int32(0x000F000F)
+        # bf16 [m/2, kdim]: plane A col c ↔ arranged row 2c (logical c),
+        # plane B col c ↔ arranged row 2c+1 (logical m/2 + c)
+        pa_lo = pltpu.bitcast(c0 | ((w & mk) << 3), jnp.bfloat16)
+        pb_lo = pltpu.bitcast(c0 | (((w >> 8) & mk) << 3), jnp.bfloat16)
+        pa_hi = pltpu.bitcast(c0 | (((w >> 4) & mk) << 3), jnp.bfloat16)
+        pb_hi = pltpu.bitcast(c0 | (((w >> 12) & mk) << 3), jnp.bfloat16)
 
     gs_rows = st.shape[0]
-    g = gs_rows // 2 if not split else gs_rows  # x-group count basis
+    if field1:
+        g = gs_rows
+    else:
+        g = gs_rows // 2 if not split else gs_rows  # x-group count basis
     gh = g // 2 if split else g  # groups per expanded-x copy
     gsize = k // g if split else k // g
     gmask_bool = (
@@ -148,7 +165,33 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
                     xb, lo, dimension_numbers=dn, preferred_element_type=f32)
             return out
 
-        if split and not prec:
+        dn0 = (((0,), (0,)), ((), ()))
+        dn1 = (((1,), (1,)), ((), ()))
+
+        def sexp_b(rows):  # [g, m'] -> bf16 [m', k]
+            # (MXU dots must accumulate in f32 — Mosaic rejects a
+            # bf16 preferred_element_type; cast after)
+            return jax.lax.dot_general(
+                rows.astype(jnp.bfloat16), e2, dimension_numbers=dn0,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        def mdot_b(w_eff):  # bf16 [m', k] -> f32 [n, m']
+            return jax.lax.dot_general(
+                xb, w_eff, dimension_numbers=dn1,
+                preferred_element_type=f32,
+            )
+
+        if field1:
+            # single-field value planes (128 + u): one plane per output
+            # half, directly usable by either accuracy class
+            if prec:
+                y_a = mdot2(pa_lo.astype(f32) * sexp2(st[:, :m2]))
+                y_b = mdot2(pb_lo.astype(f32) * sexp2(st[:, m2:]))
+            else:
+                y_a = mdot_b(pa_lo * sexp_b(st[:, :m2]))
+                y_b = mdot_b(pb_lo * sexp_b(st[:, m2:]))
+        elif split and not prec:
             # fast default: nibble planes are bf16-EXACT (16 + nib), so
             # with plain-bf16 scale rounding (the documented default
             # class) the whole multiply chain stays in bf16 — one VPU
@@ -156,23 +199,6 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
             # a round, and the expansion dot emits bf16 directly
             pa = jnp.concatenate([pa_lo, pa_hi], axis=1)  # bf16
             pb = jnp.concatenate([pb_lo, pb_hi], axis=1)
-            dn0 = (((0,), (0,)), ((), ()))
-            dn1 = (((1,), (1,)), ((), ()))
-
-            def sexp_b(rows):  # [g, m'] -> bf16 [m', k]
-                # (MXU dots must accumulate in f32 — Mosaic rejects a
-                # bf16 preferred_element_type; cast after)
-                return jax.lax.dot_general(
-                    rows.astype(jnp.bfloat16), e2, dimension_numbers=dn0,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-
-            def mdot_b(w_eff):  # bf16 [m', k] -> f32 [n, m']
-                return jax.lax.dot_general(
-                    xb, w_eff, dimension_numbers=dn1,
-                    preferred_element_type=f32,
-                )
-
             y_a = mdot_b(pa * sexp_b(st[:, :m2]))
             y_b = mdot_b(pb * sexp_b(st[:, m2:]))
         elif split:
@@ -221,6 +247,11 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
         sxh = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
         qa = (dot(xlo, pa_lo), dot(xhi, pa_hi))  # each [n*gh, m/2]
         qb = (dot(xlo, pb_lo), dot(xhi, pb_hi))
+    elif field1:
+        xm = group_expand(x)
+        sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+        qa = (dot(xm, pa_lo),)  # single value plane per half
+        qb = (dot(xm, pb_lo),)
     else:
         xm = group_expand(x)
         sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
@@ -257,8 +288,11 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False):
     outs = []
     for nn in range(n):
         sl = slice(nn * gh, (nn + 1) * gh)
-        p_a = jnp.concatenate([qa[0][sl], qa[1][sl]], axis=0)  # [Gs, m/2]
-        p_b = jnp.concatenate([qb[0][sl], qb[1][sl]], axis=0)
+        if len(qa) == 1:
+            p_a, p_b = qa[0][sl], qb[0][sl]  # [g, m/2] (single-field)
+        else:
+            p_a = jnp.concatenate([qa[0][sl], qa[1][sl]], axis=0)  # [Gs, m/2]
+            p_b = jnp.concatenate([qb[0][sl], qb[1][sl]], axis=0)
         if split:
             sx = jnp.concatenate([sxl[sl], sxh[sl]], axis=0)  # [g, 1]
         else:
@@ -343,13 +377,21 @@ def _layer_scan_kernel(
     # statics
     B, C, H, hs, hidden, L, rescale,
     rkv_split, wo_split, fk_split, fv_split, native_tags,
-    lora_dims, eps_ln, eps_gn, eps_l2, wide,
+    lora_dims, eps_ln, eps_gn, eps_l2, wide, has_carry=False,
 ):
     """Ref layout (parsed positionally — mirrors layer_scan7's operand
     assembly): 8 per-layer head refs, then per weight tag either
     (codes, st, off) f32-operand refs or (codes, stq, mnq, sd, sdm)
-    native-factor refs (``native_tags``), then state/mask ins, outs,
-    and the two VMEM scratch carries."""
+    native-factor refs (``native_tags``), then state/mask ins (plus,
+    with ``has_carry``, the pipeline v0-in and meta refs), outs, and
+    the two VMEM scratch carries.
+
+    ``has_carry`` (pipeline-stage mode): this kernel runs a CONTIGUOUS
+    SLICE of the layer stack. The value-residual anchor v0 arrives as an
+    operand (with meta[0,0]=1 when this is not the first stage), leaves
+    as an extra output, and the rescale modulo uses the global layer
+    offset meta[0,1]. Both flags are runtime values because under
+    shard_map every stage traces the same program."""
     it = iter(refs)
     ln1_ref, ln2_ref = next(it), next(it)  # [1, 2, C] (w, b)
     xstack_ref = next(it)  # [1, 6, C] token-shift mixes r,w,k,v,a,g
@@ -364,9 +406,13 @@ def _layer_scan_kernel(
     x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref = (
         next(it), next(it), next(it), next(it), next(it),
     )
+    v0_in_ref = meta_ref = None
+    if has_carry:
+        v0_in_ref, meta_ref = next(it), next(it)
     x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref = (
         next(it), next(it), next(it), next(it),
     )
+    v0_out_ref = next(it) if has_carry else None
     x_scr, v0_scr = next(it), next(it)
 
     def st_off(tag, j=None):
@@ -394,6 +440,26 @@ def _layer_scan_kernel(
             st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)
             off = _expand_super(sel(sdm_ref), reps) * qm + 272.0 * s_lo
             return st, off
+        if native == "n1f":
+            # single-field no-min form (Q6_K/Q3_K, codes +64-prebiased):
+            # st = s (plain per-group rows), off = (128 + 64)·s covers
+            # the bf16 plane bias and the signed rebias
+            _, scq_ref, sdn_ref = wrefs[tag]
+            q = sel(scq_ref).astype(jnp.int32).astype(jnp.float32)
+            sdn = sel(sdn_ref)
+            s = _expand_super(sdn, q.shape[0] // sdn.shape[0]) * q
+            return s, 192.0 * s
+        if native == "b1f":
+            # single-field byte kind (Q5_K/Q2_K, unsigned codes):
+            # st = s, off = dmin·mn + 128·s (plane bias only)
+            _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
+            qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
+            qm = sel(mnq_ref).astype(jnp.int32).astype(jnp.float32)
+            sd = sel(sd_ref)
+            reps = qs.shape[0] // sd.shape[0]
+            s = _expand_super(sd, reps) * qs
+            off = _expand_super(sel(sdm_ref), reps) * qm + 128.0 * s
+            return s, off
         if isinstance(native, tuple) and native[0] == "nomin":
             _, scq_ref, sdn_ref = wrefs[tag]
             q = sel(scq_ref).astype(jnp.int32).astype(jnp.float32)
@@ -403,6 +469,11 @@ def _layer_scan_kernel(
             return st, native[1] * s_lo
         _, st_ref, off_ref = wrefs[tag]
         return sel(st_ref), sel(off_ref)
+
+    f1 = {
+        tag: _field1_tag(nat)
+        for tag, nat in zip(("rkv", "wo", "fk", "fv"), native_tags)
+    }
 
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -432,7 +503,8 @@ def _layer_scan_kernel(
         st_j, off_j = st_off("rkv", j)
         rkv.append(
             _gemv_val(xin.astype(jnp.bfloat16), codes, st_j, off_j,
-                      split=rkv_split, m=mdim, k=C, wide=wide["rkv"])
+                      split=rkv_split, m=mdim, k=C, wide=wide["rkv"],
+                      field1=f1["rkv"])
         )
     r, k, v = rkv
 
@@ -472,12 +544,23 @@ def _layer_scan_kernel(
     v_mix = jax.nn.sigmoid(v0v + vm)
     is_first = i == 0
 
-    @pl.when(is_first)
-    def _store_v0():
-        v0_scr[:] = v
+    if has_carry:
+        use_in = meta_ref[0, 0]  # 1.0 when a prior stage owns layer 0
 
-    v0c = v0_scr[:]
-    v = jnp.where(is_first, v, v + v_mix * (v0c - v))
+        @pl.when(is_first)
+        def _store_v0():
+            v0_scr[:] = use_in * v0_in_ref[:] + (1.0 - use_in) * v
+
+        v0c = v0_scr[:]
+        local_first = jnp.logical_and(is_first, use_in == 0.0)
+        v = jnp.where(local_first, v, v + v_mix * (v0c - v))
+    else:
+        @pl.when(is_first)
+        def _store_v0():
+            v0_scr[:] = v
+
+        v0c = v0_scr[:]
+        v = jnp.where(is_first, v, v + v_mix * (v0c - v))
 
     # --- attention core (ref: _att_core7_kernel) ---------------------------
     m1, m2 = _head_masks(C, H, hs)
@@ -525,7 +608,7 @@ def _layer_scan_kernel(
     wo_st, wo_off = st_off("wo")
     dx = _gemv_val(
         y_fl.astype(jnp.bfloat16), wrefs["wo"][0][0], wo_st, wo_off,
-        split=wo_split, m=C, k=C, wide=wide["wo"],
+        split=wo_split, m=C, k=C, wide=wide["wo"], field1=f1["wo"],
     )
     x = x + dx
     ash_out_ref[0] = sh + m_lane * (xx - sh)
@@ -539,26 +622,32 @@ def _layer_scan_kernel(
     fk_st, fk_off = st_off("fk")
     k_hid = _gemv_val(
         kx2.astype(jnp.bfloat16), wrefs["fk"][0][0], fk_st, fk_off,
-        split=fk_split, m=hidden, k=C, wide=wide["fk"],
+        split=fk_split, m=hidden, k=C, wide=wide["fk"], field1=f1["fk"],
     )
     k_hid = jnp.maximum(k_hid, 0.0)
     k_hid = k_hid * k_hid
     fv_st, fv_off = st_off("fv")
     vf = _gemv_val(
         k_hid.astype(jnp.bfloat16), wrefs["fv"][0][0], fv_st, fv_off,
-        split=fv_split, m=C, k=hidden, wide=wide["fv"],
+        split=fv_split, m=C, k=hidden, wide=wide["fv"], field1=f1["fv"],
     )
     x = x + vf
     fsh_out_ref[0] = fsh + m_lane * (xx2 - fsh)
 
     if rescale is not None:
-        x = jnp.where((i + 1) % rescale == 0, x * 0.5, x)
+        if has_carry:
+            goff = meta_ref[0, 1].astype(jnp.int32)  # global layer offset
+            x = jnp.where((goff + i + 1) % rescale == 0, x * 0.5, x)
+        else:
+            x = jnp.where((i + 1) % rescale == 0, x * 0.5, x)
 
     x_scr[:] = x
 
     @pl.when(i == L - 1)
     def _final():
         x_out_ref[:] = x
+        if has_carry:
+            v0_out_ref[:] = v0_scr[:]
 
 
 # ---------------------------------------------------------------------------
@@ -571,11 +660,18 @@ _QKINDS = ("qk", "qk_b", "qk_nomin", "int8")
 def _form_keys(prep: dict) -> tuple:
     """Operand key tuple for a _prep_matrix form (codes first)."""
     native = prep.get("native") if isinstance(prep, dict) else prep
-    if native in ("qk", "qkb"):
+    if native in ("qk", "qkb", "b1f"):
         return ("codes", "stq", "mnq", "sd", "sdm")
-    if isinstance(native, tuple) and native and native[0] == "nomin":
+    if native == "n1f" or (
+        isinstance(native, tuple) and native and native[0] == "nomin"
+    ):
         return ("codes", "scq", "sdn")
     return ("codes", "st", "off")
+
+
+def _field1_tag(native) -> bool:
+    """True for the single-field byte-plane native forms."""
+    return native in ("n1f", "b1f")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -663,8 +759,9 @@ def _prep_matrix(mat) -> dict | None:
         }
 
     if mat.kind == "qk_b" and "sc6" in a:
-        # native byte-kind factors (Q5_K/Q2_K): st = [s;16s] and
-        # off = dmin·mn + 272·s form in-kernel (codes are unsigned)
+        # native byte-kind factors (Q5_K/Q2_K): codes are unsigned and
+        # fit 7 bits, so the SINGLE-FIELD plane path applies — st = s and
+        # off = dmin·mn + 128·s form in-kernel (see _gemv_val field1)
         return {
             "codes": jnp.asarray(codes),
             "stq": jnp.asarray(t(np.asarray(a["sc6"], np.uint8))),
@@ -672,19 +769,21 @@ def _prep_matrix(mat) -> dict | None:
             "sd": jnp.asarray(t(np.asarray(a["d8"], np.float32))),
             "sdm": jnp.asarray(t(np.asarray(a["dm8"], np.float32))),
             "split": False,
-            "native": "qkb",
+            "native": "b1f",
         }
 
     if mat.kind == "qk_nomin" and "q6s" in a:
-        # no-min native factors (Q6_K/Q3_K): signed scale codes + super-
-        # scales replace BOTH f32 operand arrays; the offset fold is the
-        # scalar (272 + 128·signed)·s, formed in-kernel
+        # no-min native factors (Q6_K/Q3_K): signed codes fit 7 bits —
+        # rebias to +64 (instead of the nibble-pair path's +128) so the
+        # single-field planes read bf16(128 + q + 64) = 192 + q and the
+        # offset fold is the scalar 192·s, formed in-kernel
+        assert shift == 128.0, "q6s implies signed i8 codes"
         return {
-            "codes": jnp.asarray(codes),
+            "codes": jnp.asarray((codes.astype(np.int16) - 64).astype(np.uint8)),
             "scq": jnp.asarray(t(np.asarray(a["q6s"], np.int8))),
             "sdn": jnp.asarray(t(np.asarray(a["q6d"], np.float32))),
             "split": False,
-            "native": ("nomin", 272.0 + shift),
+            "native": "n1f",
         }
 
     if mat.kind == "qk":
@@ -809,7 +908,14 @@ def layer_scan7(
     mask: jax.Array,  # [B] 0/1
     rescale: int | None,
     eps_ln: float, eps_gn: float, eps_l2: float,
-) -> tuple[jax.Array, dict]:
+    v0_carry: tuple[jax.Array, jax.Array] | None = None,
+) -> tuple[jax.Array, dict] | tuple[jax.Array, dict, jax.Array]:
+    """Run the stacked decode blocks. With ``v0_carry = (v0_in [B, C],
+    meta [1, 2])`` the kernel runs as a PIPELINE STAGE over a layer
+    slice: meta[0,0] = 1.0 means a prior stage owns layer 0 (v0 comes
+    from ``v0_in``), meta[0,1] is the stage's global layer offset (for
+    the rescale modulo), and the return gains the outgoing v0 anchor:
+    ``(x, new_state, v0_out)``."""
     s = mega.static
     L, C, H, hs, hidden = s["L"], s["C"], s["H"], s["hs"], s["hidden"]
     B = x.shape[0]
@@ -856,6 +962,11 @@ def layer_scan7(
         blk((B, H, hs, hs)),
         full((B, 1)),
     ]
+    has_carry = v0_carry is not None
+    if has_carry:
+        v0_in, meta = v0_carry
+        operands += [v0_in.astype(f32), meta.astype(f32)]
+        in_specs += [full((B, C)), full((1, 2))]
 
     # Strategy above the narrow-batch threshold: measured all-wide for
     # every in-kernel matrix. The MXU-tile cost model (row blocks are
@@ -880,31 +991,32 @@ def layer_scan7(
         native_tags=native_tags,
         lora_dims=s["lora_dims"],
         eps_ln=eps_ln, eps_gn=eps_gn, eps_l2=eps_l2,
-        wide=wide_map,
+        wide=wide_map, has_carry=has_carry,
     )
+
+    out_specs = [full((B, C)), blk((B, C)), blk((B, C)), blk((B, H, hs, hs))]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, C), f32),
+        jax.ShapeDtypeStruct((L, B, C), f32),
+        jax.ShapeDtypeStruct((L, B, C), f32),
+        jax.ShapeDtypeStruct((L, B, H, hs, hs), f32),
+    ]
+    if has_carry:
+        out_specs.append(full((B, C)))
+        out_shape.append(jax.ShapeDtypeStruct((B, C), f32))
 
     # state outputs alias their input buffers (the recurrent state is
     # consumed by this step): without this the decode scan must copy
     # every step's new state back into the loop carry — at B=8 the WKV
     # tensor alone is 18.9 MB of avoidable traffic per token
-    n_in = len(operands)
-    x_out, ash, fsh, wkv = pl.pallas_call(
+    state_in0 = len(operands) - (4 if has_carry else 2) - 2
+    outs = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=in_specs,
-        input_output_aliases={n_in - 4: 1, n_in - 3: 2, n_in - 2: 3},
-        out_specs=(
-            full((B, C)),
-            blk((B, C)),
-            blk((B, C)),
-            blk((B, H, hs, hs)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, C), f32),
-            jax.ShapeDtypeStruct((L, B, C), f32),
-            jax.ShapeDtypeStruct((L, B, C), f32),
-            jax.ShapeDtypeStruct((L, B, H, hs, hs), f32),
-        ),
+        input_output_aliases={state_in0: 1, state_in0 + 1: 2, state_in0 + 2: 3},
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((B, C), f32),  # residual carry
             pltpu.VMEM((B, C), f32),  # value-residual carry
@@ -924,5 +1036,8 @@ def layer_scan7(
             transcendentals=4 * L * B * C,
         ),
     )(*operands)
+    x_out, ash, fsh, wkv = outs[:4]
     new_state = {"att_shift": ash, "wkv": wkv, "ffn_shift": fsh}
+    if has_carry:
+        return x_out, new_state, outs[4]
     return x_out, new_state

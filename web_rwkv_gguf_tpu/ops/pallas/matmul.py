@@ -412,41 +412,187 @@ def build_gemv_operands_native_nomin(sc, d, m, k, kdim) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# single-field byte planes: for any code u in [0, 127], bf16(128 + u) is
+# exactly 0x4300 | u — the whole [128, 256) binade holds integers with
+# 7-bit-exact mantissas, so a WHOLE byte becomes an exact bf16 plane with
+# one mask/or per two bytes. Byte kinds whose codes fit 7 bits (Q6_K:
+# -32..31, Q3_K: -4..3, Q5_K: 0..31, Q2_K: 0..3 — every producer of the
+# native factor arrays) need TWO planes instead of the nibble-pair path's
+# FOUR: half the VPU unpack and half the MXU plane passes, closing the
+# 2x gap to the nibble-packed Q4_K path. Signed codes rebias in-kernel
+# with one XOR of bit 6 (q + 64 = (q & 0x7F) ^ 0x40 for q in [-64, 63]).
+# The +128 plane bias and the code offset fold into the group-sum
+# correction operand exactly as in the packed-pair kernels.
+# ---------------------------------------------------------------------------
+
+_SF_XOR_SIGNED = 0x40404040  # +64 per byte (bit-6 flip)
+_SF_FOLD_SIGNED = 192.0  # plane bias 128 + signed rebias 64
+_SF_FOLD_UNSIGNED = 128.0
+
+
+def _sf_planes(codes_ref, xor):
+    """(pa, pb) bf16 [bm/2, kdim] single-field value planes (128 + u):
+    pa covers code rows {4q, 4q+2} (the tile's even rows), pb the odd."""
+    w = pltpu.bitcast(codes_ref[:], jnp.int32)  # [bm/4, kdim]
+    if xor:
+        w = w ^ jnp.int32(xor)
+    base = jnp.int32(0x43004300)
+    mk = jnp.int32(0x007F007F)
+    pa = pltpu.bitcast(base | (w & mk), jnp.bfloat16)
+    pb = pltpu.bitcast(base | ((w >> 8) & mk), jnp.bfloat16)
+    return pa, pb
+
+
+def _gemv_sf_body(codes_ref, st, off, x_ref, out_ref, *, n, g, kdim, gsize,
+                  bm, xor):
+    """Narrow (group-expansion) single-field gemv body. ``st`` is the
+    plain per-group scale rows [g, bm] (no [s;16s] stacking — one field),
+    ``off`` the folded offset rows; both in the per-tile [evens|odds]
+    column order of build_gemv_operands_native*."""
+    pa, pb = _sf_planes(codes_ref, xor)
+
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (g, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (g, kdim), 0)
+    ).astype(jnp.bfloat16)
+    x = x_ref[:]
+    x3 = jnp.expand_dims(x, 1)
+    xm = (x3 * jnp.expand_dims(gmask, 0)).reshape(n * g, kdim)
+    sxm = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+
+    def dot(xs, part):
+        return jax.lax.dot_general(
+            xs, part, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    qa = dot(xm, pa)  # [n*g, bm/2]
+    qb = dot(xm, pb)
+    h = bm // 2
+    if n > 2:
+        p_a = qa.reshape(n, g, h)
+        p_b = qb.reshape(n, g, h)
+        sx = sxm.reshape(n, g, 1)
+        y_a = jnp.sum(p_a * st[:, :h][None], axis=1) - jnp.sum(
+            off[:, :h][None] * sx, axis=1
+        )
+        y_b = jnp.sum(p_b * st[:, h:][None], axis=1) - jnp.sum(
+            off[:, h:][None] * sx, axis=1
+        )
+        out_ref[:] = jnp.concatenate(
+            [y_a[:, None], y_b[:, None]], axis=1
+        ).reshape(2 * n, h)
+        return
+    for nn in range(n):
+        sl = slice(nn * g, (nn + 1) * g)
+        sx = sxm[sl]
+        out_ref[2 * nn : 2 * nn + 1, :] = (
+            jnp.sum(qa[sl] * st[:, :h], axis=0, keepdims=True)
+            - jnp.sum(off[:, :h] * sx, axis=0, keepdims=True)
+        )
+        out_ref[2 * nn + 1 : 2 * nn + 2, :] = (
+            jnp.sum(qb[sl] * st[:, h:], axis=0, keepdims=True)
+            - jnp.sum(off[:, h:] * sx, axis=0, keepdims=True)
+        )
+
+
+def _gemv_sfw_body(codes_ref, st, off, x_ref, out_ref, *, n, g, kdim, gsize,
+                   bm, xor):
+    """Wide (k-expanded scales) single-field gemv body: the value planes
+    multiply k-expanded scale rows and each batch lane costs one plain
+    [k]-dot — batch-independent MXU tiles, same strategy as
+    _gemv_kernel2w but with 2 planes and no f32 lo+16·hi combine."""
+    pa, pb = _sf_planes(codes_ref, xor)
+    f32 = jnp.float32
+    e2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (g, kdim), 1) // gsize
+        == jax.lax.broadcasted_iota(jnp.int32, (g, kdim), 0)
+    ).astype(jnp.bfloat16)
+    xb = x_ref[:]
+    prec = config.wide_precise
+
+    def sexp(rows):  # [g, bm/2] f32 -> [bm/2, k] k-expanded scales
+        hi = rows.astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        out = jax.lax.dot_general(hi, e2, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        if prec:
+            lo = (rows - hi.astype(f32)).astype(jnp.bfloat16)
+            out = out + jax.lax.dot_general(lo, e2, dimension_numbers=dn,
+                                            preferred_element_type=f32)
+        return out
+
+    def mdot(plane, s_exp):
+        w_eff = plane.astype(f32) * s_exp
+        hi = w_eff.astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        out = jax.lax.dot_general(xb, hi, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        if prec:
+            lo = (w_eff - hi.astype(f32)).astype(jnp.bfloat16)
+            out = out + jax.lax.dot_general(xb, lo, dimension_numbers=dn,
+                                            preferred_element_type=f32)
+        return out
+
+    h = bm // 2
+    y_a = mdot(pa, sexp(st[:, :h]))
+    y_b = mdot(pb, sexp(st[:, h:]))
+    sx = jax.lax.dot_general(
+        xb, e2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [n, g]
+    corr = jax.lax.dot_general(
+        sx, off, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [n, bm] columns [evens|odds]
+    y_a = y_a - corr[:, :h]
+    y_b = y_b - corr[:, h:]
+    for nn in range(n):
+        out_ref[2 * nn : 2 * nn + 1, :] = y_a[nn : nn + 1]
+        out_ref[2 * nn + 1 : 2 * nn + 2, :] = y_b[nn : nn + 1]
+
+
 def _gemv_kernel2n_nomin(codes_ref, scq_ref, sd_ref, x_ref, out_ref, *, n,
-                         g, kdim, gsize, bm, signed, reps):
-    """v2 gemv with native no-min scale factors: st = [s;16s] and the
-    offset fold (272+128·signed)·s are FORMED IN-KERNEL from the signed
-    scale codes and super-scales (s = d·sc)."""
+                         g, kdim, gsize, bm, signed, reps, narrow=True):
+    """Single-field gemv with native no-min scale factors (Q6_K/Q3_K):
+    st = s and the offset fold 192·s (128 plane bias + 64 signed rebias)
+    form IN-KERNEL from the signed scale codes and super-scales
+    (s = d·sc). Codes are i8 in [-32, 31] / [-4, 3] — the only scq
+    producers — so the 7-bit single-field planes are exact."""
     q = scq_ref[:].astype(jnp.int32).astype(jnp.float32)  # [g, bm]
-    s_lo = _expand_super(sd_ref[:], reps) * q
-    st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)  # [2g, bm]
-    off = (400.0 if signed else 272.0) * s_lo
-    _gemv2_body(codes_ref, st, off, x_ref, out_ref, split=False, n=n, g=g,
-                kdim=kdim, gsize=gsize, bm=bm, signed=signed)
+    s = _expand_super(sd_ref[:], reps) * q
+    fold = _SF_FOLD_SIGNED if signed else _SF_FOLD_UNSIGNED
+    body = _gemv_sf_body if narrow else _gemv_sfw_body
+    body(codes_ref, s, fold * s, x_ref, out_ref, n=n, g=g,
+         kdim=kdim, gsize=gsize, bm=bm,
+         xor=_SF_XOR_SIGNED if signed else 0)
 
 
 def _gemv_kernel2n_b(codes_ref, stq_ref, mnq_ref, sd_ref, sdm_ref, x_ref,
-                     out_ref, *, n, g, kdim, gsize, bm, reps):
-    """v2 gemv with native byte-kind (qk_b: Q5_K/Q2_K) scale factors:
-    st = [s;16s] and off = dmin·mn + 272·s form in-kernel from the
-    unsigned scale/min codes and super-scales (s = d·sc)."""
+                     out_ref, *, n, g, kdim, gsize, bm, reps, narrow=True):
+    """Single-field gemv with native byte-kind (qk_b: Q5_K/Q2_K) scale
+    factors: st = s and off = dmin·mn + 128·s form in-kernel from the
+    unsigned scale/min codes and super-scales (s = d·sc). Codes are u8
+    in [0, 31] / [0, 3] — 7-bit-exact single-field planes."""
     qs = stq_ref[:].astype(jnp.int32).astype(jnp.float32)  # [g, bm]
     qm = mnq_ref[:].astype(jnp.int32).astype(jnp.float32)
-    s_lo = _expand_super(sd_ref[:], reps) * qs
-    st = jnp.concatenate([s_lo, 16.0 * s_lo], axis=0)  # [2g, bm]
-    off = _expand_super(sdm_ref[:], reps) * qm + 272.0 * s_lo
-    _gemv2_body(codes_ref, st, off, x_ref, out_ref, split=False, n=n, g=g,
-                kdim=kdim, gsize=gsize, bm=bm, signed=False)
+    s = _expand_super(sd_ref[:], reps) * qs
+    off = _expand_super(sdm_ref[:], reps) * qm + _SF_FOLD_UNSIGNED * s
+    body = _gemv_sf_body if narrow else _gemv_sfw_body
+    body(codes_ref, s, off, x_ref, out_ref, n=n, g=g, kdim=kdim,
+         gsize=gsize, bm=bm, xor=0)
 
 
 def _quant_gemv2_b_native(x, codes, stq, mnq, sd, sdm, *, m, k, kdim,
-                          gsize) -> jax.Array:
+                          gsize, narrow=True) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
     bm = _gemv_block_m(m, kdim)
     reps = g // sd.shape[0]
     kernel = functools.partial(
         _gemv_kernel2n_b, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm, reps=reps,
+        narrow=narrow,
     )
     out = pl.pallas_call(
         kernel,
@@ -481,14 +627,14 @@ def _quant_gemv2_b_native(x, codes, stq, mnq, sd, sdm, *, m, k, kdim,
 
 
 def _quant_gemv2_nomin_native(x, codes, scq, sdn, *, m, k, kdim, gsize,
-                              signed) -> jax.Array:
+                              signed, narrow=True) -> jax.Array:
     n = x.shape[0]
     g = k // gsize
     bm = _gemv_block_m(m, kdim)
     reps = g // sdn.shape[0]
     kernel = functools.partial(
         _gemv_kernel2n_nomin, n=n, g=g, kdim=kdim, gsize=gsize, bm=bm,
-        signed=signed, reps=reps,
+        signed=signed, reps=reps, narrow=narrow,
     )
     out = pl.pallas_call(
         kernel,
@@ -769,16 +915,21 @@ def _gemv_kernel2w(codes_ref, st_ref, off_ref, x_ref, out_ref, *, split, n,
         out_ref[2 * nn + 1 : 2 * nn + 2, :] = y_b[nn : nn + 1]
 
 
-def _narrow_wins(n, g, kdim, m, *, split) -> bool:
+def _narrow_wins(n, g, kdim, m, *, split, single_field=False) -> bool:
     """True when the group-expansion (narrow) reduction needs no more
     MXU weight-plane tile passes than the k-expanded wide form — row
     blocks are 128 wide, so cost is tile counts, not FLOPs (the same
-    model as layer7.py's per-matrix strategy pick)."""
+    model as layer7.py's per-matrix strategy pick). ``single_field``:
+    the 7-bit byte-plane path has 2 planes (not 4) and no split."""
     def t(r, kk, mm):
         return -(-r // 128) * (-(-kk // 128)) * (-(-mm // 128))
 
-    gh = g // 2 if split else g
     m2 = m // 2
+    if single_field:
+        narrow = 2 * t(n * g, kdim, m2)
+        wide = 2 * t(m2, g, kdim) + 2 * t(n, kdim, m2)
+        return narrow <= wide
+    gh = g // 2 if split else g
     narrow = 4 * t(n * gh, kdim, m2)
     k_full = kdim * 2 if split else kdim
     wide = 2 * t(m2, g, k_full) + 2 * t(n, k_full, m2)
@@ -1153,25 +1304,32 @@ def quant_matmul(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
             )
-        if (
-            narrow and kind == "qk_b" and "stq" in arrays
-            and arrays["stq"].shape == (g, m)
-        ):
-            # native byte-kind factors (Q5_K/Q2_K)
+        if kind == "qk_b" and "stq" in arrays and arrays["stq"].shape == (g, m):
+            # native byte-kind factors (Q5_K/Q2_K): codes fit 7 bits, so
+            # the single-field plane path applies at ANY batch (its own
+            # cost model — 2 planes, not 4)
+            narrow_sf = n <= config.wide_batch or _narrow_wins(
+                n, g, kdim, m, split=False, single_field=True
+            )
             return _quant_gemv2_b_native(
                 x, codes, arrays["stq"], arrays["mnq"], arrays["sd"],
                 arrays["sdm"], m=m, k=k, kdim=kdim, gsize=gsize,
+                narrow=narrow_sf,
             )
         if (
-            narrow
-            and kind == "qk_nomin"
+            kind == "qk_nomin"
             and "scq" in arrays
             and arrays["scq"].shape == (g, m)
         ):
-            # native no-min factors (Q6_K/Q3_K): ~9.6x less scale DMA
+            # native no-min factors (Q6_K/Q3_K): ~9.6x less scale DMA,
+            # single-field byte planes (2x fewer planes than nibble-pair)
+            narrow_sf = n <= config.wide_batch or _narrow_wins(
+                n, g, kdim, m, split=False, single_field=True
+            )
             return _quant_gemv2_nomin_native(
                 x, codes, arrays["scq"], arrays["sdn"], m=m, k=k, kdim=kdim,
                 gsize=gsize, signed=codes.dtype == jnp.int8,
+                narrow=narrow_sf,
             )
         pre_st = arrays.get("st")
         pre_mnt = arrays.get("mnt")
