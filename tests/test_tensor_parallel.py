@@ -257,3 +257,60 @@ def test_prepare_decode_batch16_mega():
         assert "mega7" not in prepare_decode(params, info, batch_hint=17)
     finally:
         pcfg.interpret = interp
+
+
+@pytest.mark.parametrize("quantize", ["q4k", "q6k"])
+def test_tp_forward_binds_native_gemv_kernels(quantize, monkeypatch):
+    """The shard_map TP DECODE step must bind the native-factor fused
+    gemv kernels on its local shards (VERDICT r3 #2 'done' criterion).
+
+    CPU can't execute Mosaic, so this asserts at TRACE time: with the
+    Pallas gate forced on, tracing the TP forward must route every
+    eligible quantized matmul through the native-operand kernel
+    wrappers (counted via spies) — proving multi-chip decode keeps the
+    scale-DMA win rather than silently falling back to XLA dequant."""
+    from web_rwkv_gguf_tpu.ops.pallas import config as pcfg
+    from web_rwkv_gguf_tpu.ops.pallas import matmul as MM
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    gg = {"q4k": GgmlDType.Q4_K, "q6k": GgmlDType.Q6_K}[quantize]
+    raw = fixtures.make_v7_gguf(
+        n_layer=2, n_emb=256, head_size=8, n_vocab=256, n_hidden=512,
+        quantize=gg,
+    )
+    info, params = load_model(GgufFile(raw))
+    mesh = make_mesh(2, 4)
+    tp_params = shard_params_tp(params, mesh, info)
+    fwd = make_tp_forward(info, mesh, tp_params)
+
+    counts = {"qk": 0, "nomin": 0}
+    orig_qk = MM._quant_gemv2_native
+    orig_nm = MM._quant_gemv2_nomin_native
+
+    def spy_qk(*a, **k):
+        counts["qk"] += 1
+        return orig_qk(*a, **k)
+
+    def spy_nm(*a, **k):
+        counts["nomin"] += 1
+        return orig_nm(*a, **k)
+
+    monkeypatch.setattr(MM, "_quant_gemv2_native", spy_qk)
+    monkeypatch.setattr(MM, "_quant_gemv2_nomin_native", spy_nm)
+    # force the TPU gate for TRACING only (no kernel executes)
+    monkeypatch.setattr(pcfg, "use_pallas", lambda: True)
+    monkeypatch.setattr(pcfg, "interpret", False)
+
+    state = shard_state(init_state(info, 2), mesh)
+    tok = jnp.zeros((2, 1), jnp.int32)
+    lens = jnp.ones((2,), jnp.int32)
+    jax.make_jaxpr(
+        lambda p, s: fwd.__wrapped__(p, s, tok, lens)
+        if hasattr(fwd, "__wrapped__") else fwd(p, s, tok, lens)
+    )(tp_params, state)
+
+    key = "qk" if quantize == "q4k" else "nomin"
+    assert counts[key] > 0, (
+        f"TP decode trace never reached the native {key} gemv kernel: "
+        f"{counts}"
+    )
