@@ -432,23 +432,56 @@ def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
 
 
 def test_engine_decode_precise_knob():
-    """Engine(decode_precise=) surfaces the wide-batch accuracy class
-    (config.wide_precise): True pins the double-bf16 exact path, False
-    the plain-bf16 default; None leaves the process setting alone."""
+    """Engine(decode_precise=) is PER-ENGINE (round-4 fix): the config
+    global is only set for the duration of the engine's own entry
+    points, so two engines with different settings coexist and the
+    process default is never left mutated."""
     from web_rwkv_gguf_tpu.gguf import GgufFile
     from web_rwkv_gguf_tpu.models import load_model
     from web_rwkv_gguf_tpu.ops.pallas import config as pcfg
-    from web_rwkv_gguf_tpu.runtime import Engine
+    from web_rwkv_gguf_tpu.runtime import Engine, RnnInput, RnnInputBatch
 
     info, params = load_model(GgufFile(fixtures.make_v7_gguf()))
     before = pcfg.wide_precise
-    try:
-        Engine(info, params, num_batch=1, decode_precise=True)
-        assert pcfg.wide_precise is True
-        Engine(info, params, num_batch=1, decode_precise=False)
-        assert pcfg.wide_precise is False
-        pcfg.wide_precise = True
-        Engine(info, params, num_batch=1)  # None: untouched
-        assert pcfg.wide_precise is True
-    finally:
-        pcfg.wide_precise = before
+    eng_f = Engine(info, params, num_batch=1, decode_precise=False)
+    eng_t = Engine(info, params, num_batch=1, decode_precise=True)
+    eng_n = Engine(info, params, num_batch=1)
+    assert pcfg.wide_precise == before  # constructors never mutate
+
+    seen = {}
+
+    def spy(eng, name):
+        orig = eng._forward_last
+
+        def wrapped(*a, **k):
+            seen[name] = pcfg.wide_precise
+            return orig(*a, **k)
+
+        eng._forward_last = wrapped
+
+    spy(eng_f, "f")
+    spy(eng_t, "t")
+    spy(eng_n, "n")
+    for eng in (eng_f, eng_t, eng_n):
+        eng.infer(RnnInput([RnnInputBatch([1, 2, 3])], 16))
+    # each engine's traced calls saw ITS OWN value; None saw the default
+    assert seen == {"f": False, "t": True, "n": before}
+    assert pcfg.wide_precise == before
+
+
+def test_engine_generate_first_token_on_device_sampler():
+    """The first generated token uses the same sampler semantics as the
+    on-device segment loop (round-4 fix): with top_k=1 a hot
+    temperature must still produce the argmax token, which the old
+    host-side temperature-softmax draw ignored."""
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import load_model
+    from web_rwkv_gguf_tpu.runtime import Engine
+
+    info, params = load_model(GgufFile(fixtures.make_v7_gguf()))
+    prompt = [1, 2, 3]
+    eng = Engine(info, params, num_batch=1)
+    greedy = eng.generate([prompt], max_tokens=2, temperature=0.0)
+    eng2 = Engine(info, params, num_batch=1)
+    topk1 = eng2.generate([prompt], max_tokens=2, temperature=5.0, top_k=1)
+    assert topk1[0][0] == greedy[0][0]

@@ -331,6 +331,37 @@ def unroll_params(params: dict) -> dict:
     return out
 
 
+def dense_cache_bytes(params: dict, itemsize: int = 2) -> int:
+    """HBM bytes a :func:`densify_matrices` cache would add (dense copies
+    of every quantized matrix at ``itemsize`` bytes/element) — used by the
+    engine's automatic prefill-dense policy."""
+    total = 0
+
+    def visit(node):
+        nonlocal total
+        if isinstance(node, Matrix) and node.kind != "dense":
+            m, k = node.dims()
+            stack = 1
+            codes = node.arrays.get("codes")
+            if codes is not None and getattr(codes, "ndim", 2) == 3:
+                stack = codes.shape[0]
+            total += stack * m * k * itemsize
+
+    def walk(tree):
+        if isinstance(tree, Matrix):
+            visit(tree)
+        elif isinstance(tree, dict):
+            for v in tree.values():
+                walk(v)
+        elif isinstance(tree, list):
+            for v in tree:
+                walk(v)
+
+    visit(params.get("head"))
+    walk(params.get("blocks"))
+    return total
+
+
 def densify_matrices(params: dict, dtype=jnp.bfloat16) -> dict:
     """Dense copies of every quantized matrix (one-time dequantize into
     HBM). Prefill is MXU-bound, not weight-DMA-bound, so running chunks

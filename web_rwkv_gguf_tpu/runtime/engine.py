@@ -78,7 +78,7 @@ class Engine:
         unroll: bool | None = None,
         hooks: dict | None = None,
         tp_mode: str = "gspmd",
-        prefill_dense: bool = False,
+        prefill_dense: bool | None = None,
         prefill_dense_min_t: int = 64,
         seq_parallel: bool = False,
         seq_parallel_min_t: int = 64,
@@ -93,19 +93,19 @@ class Engine:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
-        if decode_precise is not None:
-            # Decode accuracy class for batches above ~2 lanes: the wide
-            # gemv strategy defaults to plain-bf16 dequant rounding
-            # (~2^-9 relative on activations — the same class as the XLA
-            # fallback and the reference's f16 shaders); True enables
-            # the double-bf16 correction (~2^-16, FMA-class) at ~+35%
-            # step time. Narrow batches (B <= 2) are exact either way.
-            # NOTE: this is a process-wide trace-time switch
-            # (ops.pallas.config.wide_precise) — it applies to every
-            # engine compiled after this point.
-            from ..ops.pallas import config as _pcfg
-
-            _pcfg.wide_precise = bool(decode_precise)
+        # Decode accuracy class for batches above ~2 lanes: True (the
+        # config default) keeps the double-bf16 correction (~2^-16,
+        # FMA-class); False selects plain-bf16 dequant rounding (~2^-9,
+        # the XLA-fallback / reference-f16 class) for maximum wide-batch
+        # throughput. Narrow batches (B <= 2) are exact either way.
+        # PER-ENGINE: the flag is applied as a scoped trace-time value
+        # around this engine's compiled entry points (_precision_scope),
+        # so engines with different settings coexist in one process —
+        # each engine's jit objects trace under its own value and the
+        # module global is never left mutated.
+        self._decode_precise = (
+            None if decode_precise is None else bool(decode_precise)
+        )
         self.info = info
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
@@ -127,6 +127,22 @@ class Engine:
         # threshold) keep the DMA-light quantized arrays
         self._params_prefill = None
         self._prefill_min_t = prefill_dense_min_t
+        if prefill_dense is None and mesh is None:
+            # automatic policy: cache dense bf16 prefill weights when the
+            # extra HBM clearly fits. The dense cache is the >1x-of-dense
+            # prefill answer (direct-quantized prefill is structurally
+            # capped near dense speed — the expansion is extra MXU tile
+            # work), so take it whenever quantized + dense + headroom
+            # stays under ~60% of device memory.
+            from ..models.loader import dense_cache_bytes
+
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                limit = int(stats.get("bytes_limit", 0)) or (16 << 30)
+            except Exception:  # backends without memory_stats
+                limit = 16 << 30
+            extra = dense_cache_bytes(params)
+            prefill_dense = extra > 0 and 2.3 * extra < 0.6 * limit
         if prefill_dense and mesh is None:
             from ..models.loader import densify_matrices
 
@@ -242,6 +258,30 @@ class Engine:
                 fwd_emb(params, state, embeds, lengths)
             )
 
+    def _precision_scope(self):
+        """Scoped trace-time application of this engine's decode
+        precision: jit retraces happen inside engine entry points, so
+        setting the config only for their duration gives per-engine
+        semantics (each engine's jit objects cache programs traced under
+        its own value; cached executions don't read the flag at all)."""
+        import contextlib
+
+        if self._decode_precise is None:
+            return contextlib.nullcontext()
+
+        from ..ops.pallas import config as _pcfg
+
+        @contextlib.contextmanager
+        def scope():
+            prev = _pcfg.wide_precise
+            _pcfg.wide_precise = self._decode_precise
+            try:
+                yield
+            finally:
+                _pcfg.wide_precise = prev
+
+        return scope()
+
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
 
     def back_state(self, batch: int) -> dict:
@@ -275,6 +315,10 @@ class Engine:
         repeatedly until every batch is drained / generation is driven by
         pushing sampled tokens back into the input lanes.
         """
+        with self._precision_scope():
+            return self._infer_impl(input)
+
+    def _infer_impl(self, input: RnnInput) -> RnnOutput:
         if len(input.batches) != self.num_batch:
             raise TensorError.batch(len(input.batches), self.num_batch)
         plan = input.plan()
@@ -450,7 +494,7 @@ class Engine:
         """
         import jax
 
-        from ..models.generate import make_generator
+        from ..models.generate import make_generator, make_sampler
 
         if len(prompts) != self.num_batch:
             raise TensorError.batch(len(prompts), self.num_batch)
@@ -464,12 +508,15 @@ class Engine:
                 if len(out[b]):
                     last_logits[b] = out[b][-1]
 
+        # first token through the SAME on-device sampler as the segment
+        # loop (greedy / temperature / top-k / nucleus, jax PRNG) — the
+        # prompt's last logits came from infer(), only the sampling step
+        # runs here
+        key = jax.random.key(seed)
+        key, sub = jax.random.split(key)
+        sample = jax.jit(make_sampler(temperature, top_k, top_p))
         first = np.asarray(
-            [int(np.argmax(l)) if temperature <= 0 else
-             int(np.random.default_rng(seed + b).choice(
-                 len(l), p=_softmax_np(l / max(temperature, 1e-6))))
-             for b, l in enumerate(last_logits)],
-            np.int32,
+            sample(jnp.asarray(np.stack(last_logits)), sub), np.int32
         )[:, None]
 
         stop_tokens = stop_tokens or set()
@@ -477,21 +524,21 @@ class Engine:
             self.info, steps=segment, temperature=temperature, top_k=top_k,
             top_p=top_p, stop_ids=tuple(sorted(stop_tokens)),
         )
-        key = jax.random.key(seed)
         token = jnp.asarray(first)
         results = [[int(t)] for t in first[:, 0]]
         produced = 1
-        while produced < max_tokens:
-            toks, logits, self.state, key, done = gen(
-                self.params, self.state, token, key
-            )
-            toks_np = np.asarray(toks)
-            for b in range(self.num_batch):
-                results[b].extend(int(t) for t in toks_np[b])
-            produced += segment
-            token = toks[:, -1:]
-            if stop_tokens and bool(np.asarray(done).all()):
-                break  # every lane froze on its stop token
+        with self._precision_scope():
+            while produced < max_tokens:
+                toks, logits, self.state, key, done = gen(
+                    self.params, self.state, token, key
+                )
+                toks_np = np.asarray(toks)
+                for b in range(self.num_batch):
+                    results[b].extend(int(t) for t in toks_np[b])
+                produced += segment
+                token = toks[:, -1:]
+                if stop_tokens and bool(np.asarray(done).all()):
+                    break  # every lane froze on its stop token
         trimmed = []
         for seq in results:
             seq = seq[:max_tokens]
@@ -501,8 +548,3 @@ class Engine:
                     break
             trimmed.append(seq)
         return trimmed
-
-
-def _softmax_np(x):
-    e = np.exp(x - np.max(x))
-    return e / e.sum()
