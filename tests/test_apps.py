@@ -362,3 +362,29 @@ def test_bench_kernels_app(capsys):
                         "--warmup", "1", "--runs", "2"])
     out = capsys.readouterr().out
     assert "q4_k" in out
+
+
+def test_ppl_compare_f16(vocab_file, tmp_path, capsys):
+    """The quantization-acceptance mode (VERDICT r3 #4b): direct K-quant
+    vs dense f16 dequant on the SAME file, ppl delta + logit diff. On a
+    synthetic Q4_K file both loads represent the same dequantized
+    values, so the delta must be far inside the 0.1 acceptance bound."""
+    from web_rwkv_gguf_tpu.apps import ppl
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    model = tmp_path / "q4k.gguf"
+    model.write_bytes(fixtures.make_v7_gguf(
+        n_layer=2, n_emb=64, head_size=8, n_vocab=300,
+        quantize=GgmlDType.Q4_K,
+    ))
+    text = tmp_path / "t.txt"
+    text.write_text("hello world, this is a test of perplexity evaluation.")
+    ppl.main([
+        "--model", str(model), "--vocab", vocab_file,
+        "--text", str(text), "--max-tokens", "48", "--chunk", "16",
+        "--compare-f16",
+    ])
+    out = capsys.readouterr().out
+    assert "direct-quant" in out and "f16-dequant" in out
+    assert "delta ppl" in out
+    assert "PASS" in out

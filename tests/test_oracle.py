@@ -50,14 +50,18 @@ def _mm(W, x):
     return W @ x
 
 
-def oracle_v7(reader, tokens):
-    """Per-token scalar RWKV-7 forward returning the final residual x."""
+def oracle_v7(reader, tokens, round_f16=True):
+    """Per-token scalar RWKV-7 forward returning the final residual x.
+
+    ``round_f16=False`` skips the loader's f16 matrix rounding — used
+    when ``reader`` holds QUANTIZED tensors, whose dequantized values
+    the engine represents exactly (direct K-quant load, no f16 pass)."""
 
     def g(n):
         arr = np.asarray(reader.tensor(n, np.float32), np.float64)
         # only the big projection matrices go through the loader's f16
         # rounding; inner-LoRA adapters and vectors stay f32
-        if arr.ndim == 2 and n.endswith(".weight"):
+        if round_f16 and arr.ndim == 2 and n.endswith(".weight"):
             return _round_like_engine(arr)
         return arr
     n_layer = 2
@@ -395,3 +399,39 @@ def test_v6_matches_scalar_oracle():
         jnp.asarray([tokens], jnp.int32), jnp.asarray([len(tokens)], jnp.int32),
     )
     np.testing.assert_allclose(np.asarray(x[0]), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("quant", ["q4k", "q6k"])
+def test_v7_quantized_matches_oracle_end_to_end(quant):
+    """End-to-end QUANTIZED bound (VERDICT r3 #4a): the engine forward on
+    a Q4_K/Q6_K model vs the scalar oracle running on the SAME
+    dequantized values.
+
+    The direct-quantized load represents exactly the dequantized f32
+    values (d*sc products formed in f32 — quant/repack.py), so the only
+    engine-vs-oracle difference is compute-path rounding: bf16
+    contractions (2^-9 relative per dot) amplified through L=2 layers of
+    norms/gates — the 2e-2 rel / 5e-2-of-scale tolerance is that class,
+    NOT quantization error (the oracle sees the same quantized weights).
+    Chained with test_pallas.py (fused kernels vs the same dequantized
+    values), this bounds the full quantized serving path against an
+    independent scalar transcription of the reference math."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    gg = {"q4k": GgmlDType.Q4_K, "q6k": GgmlDType.Q6_K}[quant]
+    raw = fixtures.make_v7_gguf(
+        n_layer=2, n_emb=256, head_size=64, n_vocab=288, seed=21,
+        quantize=gg,
+    )
+    reader = GgufFile(raw)
+    info, params = load_model(reader)  # default (bf16 compute) path
+    tokens = [5, 1, 9, 3, 7, 2]
+
+    want = oracle_v7(reader, tokens, round_f16=False)
+    x, _ = forward_chunk(
+        info, params, init_state(info, 1),
+        jnp.asarray([tokens], jnp.int32), jnp.asarray([len(tokens)], jnp.int32),
+    )
+    got = np.asarray(x[0])
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-2 * scale)

@@ -52,17 +52,71 @@ def _logsumexp(x):
     return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
 
 
+def compare_f16(args, tokenizer, text):
+    """Quantization-QA mode: evaluate the SAME .gguf through the direct
+    K-quant path and through dense f16 dequant (the reference's load
+    path, GgufFile(allow_quantized_direct=False)), report both ppls,
+    their delta, and the max relative logit difference on the first
+    chunk. Acceptance: |delta nll| <= 0.005 nats — the scale-invariant
+    form of SURVEY §7's "<=0.1 ppl delta at ppl ~20"."""
+    import jax.numpy as jnp
+
+    from ..gguf import GgufFile
+    from ..models import forward_chunk, init_state, load_model, logits_head
+
+    data = open(args.model, "rb").read()
+    results = {}
+    logit_rows = {}
+    toks = tokenizer.encode(text)[: min(256, args.max_tokens)]
+    for mode, direct in (("direct-quant", True), ("f16-dequant", False)):
+        info, params = load_model(
+            GgufFile(data, allow_quantized_direct=direct)
+        )
+        ppl, nll, n = evaluate_ppl(
+            info, params, tokenizer, text, chunk=args.chunk,
+            max_tokens=args.max_tokens,
+        )
+        results[mode] = (ppl, nll, n)
+        x, _ = forward_chunk(
+            info, params, init_state(info, 1),
+            jnp.asarray(np.asarray(toks)[None, :], jnp.int32),
+            jnp.asarray([len(toks)], jnp.int32),
+        )
+        logit_rows[mode] = np.asarray(logits_head(params, x[0]))
+        print(f"{mode:13s}: tokens={n} nll={nll:.4f} ppl={ppl:.3f}")
+    d_ppl = results["direct-quant"][0] - results["f16-dequant"][0]
+    d_nll = results["direct-quant"][1] - results["f16-dequant"][1]
+    a, b = logit_rows["direct-quant"], logit_rows["f16-dequant"]
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    print(f"delta ppl (direct - f16): {d_ppl:+.4f}   delta nll: {d_nll:+.5f}"
+          f"   first-chunk max logit rel-diff: {rel:.2e}")
+    # scale-invariant acceptance: |delta nll| <= 0.005 nats == |delta
+    # ppl| <= 0.1 at ppl ~20 (the SURVEY §7 bound for a real model)
+    print("PASS (<=0.005 nll delta)" if abs(d_nll) <= 0.005 else
+          "FAIL (>0.005 nll delta)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(p)
     p.add_argument("--text", required=True, help="text file to evaluate")
     p.add_argument("--max-tokens", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=256)
+    p.add_argument(
+        "--compare-f16", action="store_true",
+        help="also evaluate through dense f16 dequant and report the "
+        "ppl delta + logit diff (quantization acceptance; .gguf only)",
+    )
     args = p.parse_args(argv)
 
     tokenizer = common.load_tokenizer(args.vocab)
-    info, params = common.load_any_model(args)
     text = open(args.text, encoding="utf-8").read()
+    if args.compare_f16:
+        if not args.model.endswith(".gguf"):
+            raise SystemExit("--compare-f16 needs a .gguf model")
+        compare_f16(args, tokenizer, text)
+        return
+    info, params = common.load_any_model(args)
     ppl, nll, n = evaluate_ppl(
         info, params, tokenizer, text, chunk=args.chunk, max_tokens=args.max_tokens
     )
