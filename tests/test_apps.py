@@ -291,6 +291,31 @@ def test_chat_app_scripted(model_file, vocab_file, capsys, monkeypatch):
     assert "[conversation reset]" in out
 
 
+def test_chat_app_fused(model_file, vocab_file, capsys, monkeypatch):
+    """Chat's segment-wise fused mode: on-device sampled bursts stream
+    through the same loop (round-4 knob; per-token stays the default
+    for exact stop-point state)."""
+    import builtins
+
+    from web_rwkv_gguf_tpu.apps import chat
+
+    lines = iter(["hi there"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr(builtins, "input", fake_input)
+    chat.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--sampler", "greedy", "--max-tokens", "9", "--fused", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "Alice:" in out
+
+
 def test_othello_app(model_file, vocab_file, capsys):
     """Game demo: hook-modified v7 forward (a*=2, a<-act_w(w)*a) drives a
     greedy move loop (ref: examples/othello/main.rs)."""

@@ -91,18 +91,11 @@ class RnnInput:
         return [b.tokens[: p.len] for b, p in zip(self.batches, plan)]
 
 
-def plan_chunk(
-    remains: list[int], options: list[RnnOption], token_chunk_size: int
-) -> list[PlanBatch]:
-    """Fair min-fill planning of one chunk (ref: rnn.rs:283-334).
-
-    Sequences still reading (len remaining after this chunk > 0) emit no
-    logits under LAST; a batch that finishes its prompt this chunk gets
-    its LAST logit; FULL batches always emit logits for planned tokens.
-    A fresh zero-length batch plans zero tokens (the "Gen" 1-token lane
-    only appears in multi-step lookahead, see :class:`RnnIter`).
-    """
-    remains = list(remains)
+def _fair_fill(remains: list[int], token_chunk_size: int) -> list[int]:
+    """Fair min-fill of one chunk (ref: rnn.rs:283-334): repeatedly grant
+    every still-reading lane up to the smallest positive remainder until
+    the (MIN_TOKEN_CHUNK_SIZE-aligned) budget is spent. MUTATES
+    ``remains`` to the post-chunk remainders and returns per-lane takes."""
     num_token = min(sum(remains), token_chunk_size)
     if num_token > MIN_TOKEN_CHUNK_SIZE:
         num_token -= num_token % MIN_TOKEN_CHUNK_SIZE
@@ -120,17 +113,36 @@ def plan_chunk(
             num_token -= take
             lens[i] += take
             remains[i] -= take
+    return lens
 
-    out = []
-    for ln, opt, rem in zip(lens, options, remains):
-        if opt == RnnOption.FULL:
-            o = RnnOption.FULL
-        elif opt == RnnOption.LAST and rem == 0:
-            o = RnnOption.LAST
-        else:
-            o = None
-        out.append(PlanBatch(ln, o))
-    return out
+
+def _plan_option(opt: RnnOption, rem: int) -> RnnOption | None:
+    """Logit option for a planned lane: FULL always emits; LAST emits
+    only when the prompt finishes this chunk."""
+    if opt == RnnOption.FULL:
+        return RnnOption.FULL
+    if opt == RnnOption.LAST and rem == 0:
+        return RnnOption.LAST
+    return None
+
+
+def plan_chunk(
+    remains: list[int], options: list[RnnOption], token_chunk_size: int
+) -> list[PlanBatch]:
+    """Fair min-fill planning of one chunk (ref: rnn.rs:283-334).
+
+    Sequences still reading (len remaining after this chunk > 0) emit no
+    logits under LAST; a batch that finishes its prompt this chunk gets
+    its LAST logit; FULL batches always emit logits for planned tokens.
+    A fresh zero-length batch plans zero tokens (the "Gen" 1-token lane
+    only appears in multi-step lookahead, see :class:`RnnIter`).
+    """
+    remains = list(remains)
+    lens = _fair_fill(remains, token_chunk_size)
+    return [
+        PlanBatch(ln, _plan_option(opt, rem))
+        for ln, opt, rem in zip(lens, options, remains)
+    ]
 
 
 class RnnIter:
@@ -153,35 +165,12 @@ class RnnIter:
 
     def __next__(self) -> list[PlanBatch]:
         remains = [1 if kind == "gen" else n for kind, n in self._states]
-        num_token = min(sum(remains), self._chunk)
-        if num_token > MIN_TOKEN_CHUNK_SIZE:
-            num_token -= num_token % MIN_TOKEN_CHUNK_SIZE
-
-        lens = [0] * len(remains)
-        while num_token > 0:
-            positive = [r for r in remains if r > 0]
-            if not positive:
-                break
-            mid = min(positive)
-            for i, r in enumerate(remains):
-                if r == 0:
-                    continue
-                take = min(mid, num_token)
-                num_token -= take
-                lens[i] += take
-                remains[i] -= take
-
+        lens = _fair_fill(remains, self._chunk)
         out = []
         for i, (ln, opt, rem) in enumerate(zip(lens, self._options, remains)):
             if ln > 0:
                 self._states[i] = ("gen", 1) if rem == 0 else ("read", rem)
-            if opt == RnnOption.FULL:
-                o = RnnOption.FULL
-            elif opt == RnnOption.LAST and rem == 0:
-                o = RnnOption.LAST
-            else:
-                o = None
-            out.append(PlanBatch(ln, o))
+            out.append(PlanBatch(ln, _plan_option(opt, rem)))
         return out
 
 
