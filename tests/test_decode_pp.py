@@ -43,13 +43,15 @@ def _split_mega(mega, n_stages):
     return outs
 
 
-@pytest.mark.parametrize("rescale", [None, 2])
-def test_layer_scan7_stage_split_matches_full(rescale):
+@pytest.mark.parametrize("rescale,quant", [(None, "q4k"), (2, "q4k"),
+                                           (None, "q6k")])
+def test_layer_scan7_stage_split_matches_full(rescale, quant):
     """Running the stack as two v0-carry stage calls must equal one full
     call bit-for-bit (the same kernel runs the same layers; only the v0
-    anchor and the rescale offset arrive as operands)."""
+    anchor and the rescale offset arrive as operands). q6k covers the
+    single-field (n1f) native form under the carry."""
     B = 2
-    info, params = _tiny()
+    info, params = _tiny(quant=quant)
     mega = prep_decode7(params, info)
     stages = _split_mega(mega, 2)
     lps = mega.static["L"] // 2
@@ -130,7 +132,6 @@ def test_pp_generator_matches_single_device():
 def test_pp_generator_state_advances_per_group():
     """The pipelined run must leave each group with a distinct advanced
     state (groups decode independently)."""
-    from web_rwkv_gguf_tpu.models.loader import prepare_decode
     from web_rwkv_gguf_tpu.parallel.decode_pp import (
         make_pp_generator, make_pp_params, pp_state,
     )

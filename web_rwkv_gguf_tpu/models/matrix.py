@@ -364,7 +364,18 @@ class Matrix:
                 arrays.update(_native_b_arrays(factors, m, k))
             return cls("qk_b", (m, k), _dev(slim(arrays), device))
         if dtype == GgmlDType.Q4_0:
-            codes, scales = repack.repack_q4_0(raw, m, k)
+            if k % 64 == 0:
+                # Q4_0 is the Q4_K group form with mn = 8·d: split-halves
+                # nibble packing puts it on the full "qk" fast path
+                codes, scales, mins = repack.repack_q4_0(raw, m, k)
+                return cls(
+                    "qk",
+                    (m, k),
+                    _dev({"codes": codes, "scales": scales, "mins": mins,
+                          **_gemv_ops("qk", scales, mins, m, k, k // 2,
+                                      False)}, device),
+                )
+            codes, scales = repack.repack_q4_0_bytes(raw, m, k)
             return cls(
                 "qk_nomin",
                 (m, k),

@@ -24,7 +24,6 @@ the repo's own multi-chip serving design).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

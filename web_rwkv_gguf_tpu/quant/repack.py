@@ -192,7 +192,33 @@ def repack_q8_0(raw, m: int, k: int):
 
 
 def repack_q4_0(raw, m: int, k: int):
-    """→ (codes i8 [M, K] values -8..7, scales f32 [M, K/32])."""
+    """→ (codes u8 [M, K/2] split-halves-packed, scales f32 [M, K/32],
+    mins f32 [M, K/32]).
+
+    Q4_0 dequantizes as ``d·(nib − 8)`` — exactly the Q4_K group form
+    ``s·nib − mn`` with ``mn = 8·d``, so the repack emits the same
+    split-halves nibble layout as :func:`repack_q4_k` and Q4_0 rides
+    the ENTIRE "qk" fast path (0.5 B/weight code DMA and the packed-pair
+    kernels) instead of byte codes at twice the bytes and planes.
+    Requires k % 64 == 0 (both split halves must stay 32-group-aligned);
+    callers fall back to :func:`repack_q4_0_bytes` otherwise."""
+    b = _blocks(raw, 18)
+    n = b.shape[0]
+    assert n * 32 == m * k and k % 64 == 0
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    qs = b[:, 2:18]
+    lo = qs & 0x0F
+    hi = qs >> 4
+    codes = np.stack([lo, hi], axis=-1).reshape(n, 32).reshape(m, k)
+    half = k // 2
+    packed = (codes[:, :half] | (codes[:, half:] << 4)).astype(np.uint8)
+    scales = d.reshape(m, k // 32)
+    return packed, scales, 8.0 * scales
+
+
+def repack_q4_0_bytes(raw, m: int, k: int):
+    """→ (codes i8 [M, K] values -8..7, scales f32 [M, K/32]) — the
+    byte-code fallback for k % 64 != 0."""
     b = _blocks(raw, 18)
     n = b.shape[0]
     assert n * 32 == m * k
