@@ -639,6 +639,63 @@ def test_layer_scan7_mask_preserves_state():
         )
 
 
+def test_layer_scan7_batch_split():
+    """Batches above MAX_SCAN_BATCH run the layer-scan kernel over equal
+    batch slices (forward.py routing). Every kernel op is
+    batch-lane-independent under the wide gemv strategy, so the sliced
+    run must match the whole-batch run BIT-exactly — checked here at
+    B=6 vs 2x3 (both sides above config.wide_batch, same strategy)."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import (
+        LN_EPS, GN_EPS, L2_EPS, embed_tokens,
+    )
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import (
+        layer_scan7, prep_decode7, scan_batch_slice,
+    )
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    # the routing policy: default keeps B > cap on the composed path
+    # (split measured slower at B=32, scripts/bench_b32_split.py); the
+    # opt-in picks the fewest equal slices that fit the cap
+    assert scan_batch_slice(1) == 1 and scan_batch_slice(16) == 16
+    assert scan_batch_slice(32) is None
+    pcfg.split_scan_batch = True
+    try:
+        assert scan_batch_slice(32) == 16 and scan_batch_slice(24) == 12
+        assert scan_batch_slice(48) == 16 and scan_batch_slice(64) == 16
+        assert scan_batch_slice(17) is None  # no uniform split
+        assert scan_batch_slice(6, cap=3) == 3
+    finally:
+        pcfg.split_scan_batch = False
+
+    info, params = synthetic_v7_params(
+        n_layer=2, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q4k",
+    )
+    mega = prep_decode7(params, info)
+    B, bs = 6, 3
+    state = init_state(info, B)
+    tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 7 + 3) % 64
+    x = embed_tokens(params, tok)[:, 0]
+    mask = jnp.ones((B,), jnp.float32)
+    xo_w, s_w = layer_scan7(
+        mega, state, x, mask, None, LN_EPS, GN_EPS, L2_EPS
+    )
+    parts, sts = [], []
+    for i in range(B // bs):
+        sl = slice(i * bs, (i + 1) * bs)
+        st_i = jax.tree.map(lambda a: a[:, sl], state)
+        xo_i, st_o = layer_scan7(
+            mega, st_i, x[sl], mask[sl], None, LN_EPS, GN_EPS, L2_EPS
+        )
+        parts.append(np.asarray(xo_i))
+        sts.append(st_o)
+    np.testing.assert_array_equal(np.concatenate(parts, 0), np.asarray(xo_w))
+    for k in s_w:
+        got = np.concatenate([np.asarray(s[k]) for s in sts], axis=1)
+        np.testing.assert_array_equal(got, np.asarray(s_w[k]), err_msg=k)
+
+
 def test_native_scale_gemv_bit_identical():
     """Q4_K native scale factors (6-bit codes + f16 super-scales,
     build_gemv_operands_native) must reproduce the f32 product-operand

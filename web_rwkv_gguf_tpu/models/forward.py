@@ -147,12 +147,6 @@ def _use_pallas() -> bool:
     return _pcfg.use_pallas() and not _pcfg.interpret
 
 
-def _scan_batch_cap() -> int:
-    from ..ops.pallas.layer7 import MAX_SCAN_BATCH
-
-    return MAX_SCAN_BATCH
-
-
 # prefill chunks at/above this length use the chunk-parallel (MXU)
 # formulation; below it the sequential scan wins. Measured on v5e-class
 # hw with host-fetch-synced timing (block_until_ready is unreliable over
@@ -792,24 +786,45 @@ def forward_chunk(
 
     # whole-stack decode kernel: one Pallas launch runs every layer with
     # cross-layer DMA/compute pipelining (ops/pallas/layer7.py); numerics
-    # match the composed path (pinned by test_pallas.py::test_layer_scan7)
+    # match the composed path (pinned by test_pallas.py::test_layer_scan7).
+    # Batches above MAX_SCAN_BATCH run the kernel over equal batch
+    # slices (B=32 -> 2x16): per-lane numerics are identical (every
+    # kernel op is batch-lane-independent) and the split keeps the
+    # layer-pipelined kernel where the composed path would take over.
     if (
         version == ModelVersion.V7
         and hooks is None
         and T == 1
-        and x.shape[0] <= _scan_batch_cap()
         and "mega7" in params
         and not isinstance(blocks, list)
         and not isinstance(state, list)
         and _use_pallas()
     ):
-        from ..ops.pallas.layer7 import layer_scan7
+        from ..ops.pallas.layer7 import layer_scan7, scan_batch_slice
 
-        xo, new_state = layer_scan7(
-            params["mega7"], state, x[:, 0], mask[:, 0],
-            rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS,
-        )
-        return xo[:, None], new_state
+        B0 = x.shape[0]
+        bs = scan_batch_slice(B0)
+        if bs is not None:
+            args = (rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS)
+            if bs == B0:
+                xo, new_state = layer_scan7(
+                    params["mega7"], state, x[:, 0], mask[:, 0], *args
+                )
+                return xo[:, None], new_state
+            xs, sts = [], []
+            for i in range(B0 // bs):
+                sl = slice(i * bs, (i + 1) * bs)
+                st_i = jax.tree.map(lambda a: a[:, sl], state)
+                xo_i, st_o = layer_scan7(
+                    params["mega7"], st_i, x[sl, 0], mask[sl, 0], *args
+                )
+                xs.append(xo_i)
+                sts.append(st_o)
+            xo = jnp.concatenate(xs, axis=0)
+            new_state = jax.tree.map(
+                lambda *a: jnp.concatenate(a, axis=1), *sts
+            )
+            return xo[:, None], new_state
 
     # per-layer (list) blocks — e.g. mixed per-layer quant formats —
     # cannot lax.scan; run them through the unrolled path (same for

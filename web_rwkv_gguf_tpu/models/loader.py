@@ -400,18 +400,20 @@ def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
     (ops/pallas/layer7.py — one Pallas launch runs all layers; weights
     stay in the stacked scan form; batches above ~2 lanes switch the
     in-kernel gemv to the batch-independent ``wide`` strategy). Anything
-    else — engines decoding more than ``MAX_SCAN_BATCH`` lanes, mixed
-    per-layer formats, dense/NF4 weights — falls back to
-    :func:`unroll_params` (per-layer buffers, no scan-slice copies).
+    else — engines decoding batches with no uniform ``MAX_SCAN_BATCH``
+    split (see ``layer7.scan_batch_slice``; B=32 runs the kernel per
+    16-lane slice), mixed per-layer formats, dense/NF4 weights — falls
+    back to :func:`unroll_params` (per-layer buffers, no scan-slice
+    copies).
     """
     from ..models.info import ModelVersion
     from ..ops.pallas import config as _pcfg
 
-    from ..ops.pallas.layer7 import MAX_SCAN_BATCH
+    from ..ops.pallas.layer7 import scan_batch_slice
 
     if (
         info.version == ModelVersion.V7
-        and batch_hint <= MAX_SCAN_BATCH
+        and scan_batch_slice(batch_hint) is not None
         and _pcfg.use_pallas()
         and not isinstance(params.get("blocks"), list)
     ):

@@ -29,6 +29,15 @@ wide_batch: int = 2
 # MXU and the VPU form wins (153.6k vs 138.4k, 0.89x dense bf16).
 slab_vpu_expand_min_n: int = 512
 
+# route decode batches ABOVE layer7.MAX_SCAN_BATCH through the
+# layer-scan kernel run per equal batch slice (B=32 -> 2x16). Measured
+# SLOWER than the composed per-op path at B=32 (10.6k vs 12.5k tok/s
+# aggregate, scripts/bench_b32_split.py: the per-step [L,B,...] state
+# slice/concat copies ~150 MB of f32 wkv state and the slices re-read
+# the stacked weights) — kept as an opt-in for future shapes where the
+# trade flips; default OFF leaves B > 16 on the composed path.
+split_scan_batch: bool = False
+
 # T==1 (decode) WKV runs as plain XLA ops fused into the surrounding
 # step instead of a Pallas call: the kernel's fixed block-DMA cost
 # (~17 us/call) dwarfs the actual state update at decode shapes.

@@ -52,6 +52,28 @@ _FORCE_WIDE = None
 MAX_SCAN_BATCH = 16
 
 
+def scan_batch_slice(B: int, cap: int | None = None) -> int | None:
+    """Slice size for running the layer-scan kernel on a batch of ``B``.
+
+    ``B <= cap`` runs whole; above the cap the batch is cut into the
+    fewest EQUAL slices that fit (B=32 -> 2x16, B=24 -> 2x12, B=48 ->
+    3x16) and the kernel runs once per slice. OPT-IN
+    (config.split_scan_batch): measured slower than the composed path
+    at B=32 (scripts/bench_b32_split.py — the per-step state
+    slice/concat copies and the re-read stacked weights outweigh the
+    kernel's pipelining), so by default batches above the cap return
+    None and callers take the composed per-op path."""
+    cap = MAX_SCAN_BATCH if cap is None else cap
+    if B <= cap:
+        return B
+    if not config.split_scan_batch:
+        return None
+    ns = -(-B // cap)
+    if ns <= 4 and B % ns == 0:
+        return B // ns
+    return None
+
+
 # ---------------------------------------------------------------------------
 # in-kernel building blocks
 # ---------------------------------------------------------------------------
