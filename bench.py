@@ -8,6 +8,12 @@ reference's ``bench_format`` (warmup then averaged timed runs); weights
 are synthetic random (no model files ship with the image) with the exact
 0.1B shape (L=12, C=768, hs=64, V=65536).
 
+The headline model is the TRUE Q4_K_M placement (llama.cpp: Q4_K layer
+matrices + Q6_K output head) — the format users actually download.
+Rounds 1-3 reported a pure-Q4_K model under this metric name; that
+number is still logged as an extra for cross-round continuity (the
+Q6_K head costs ~14%, structural 2x head-code DMA — see CLAUDE.md).
+
 Extra measurements (dense-bf16 decode, prefill) go to stderr.
 """
 
@@ -155,14 +161,14 @@ def main():
 
     from web_rwkv_gguf_tpu.models import prepare_decode
 
-    log("building Q4_K_M model (synthetic 0.1B)...")
-    info, params_q = synthetic_v7_params(quant="q4k")
+    log("building Q4_K_M model (synthetic 0.1B, Q6_K output head)...")
+    info, params_m = synthetic_v7_params(quant="q4km")
     log(f"model: RWKV-7 L={info.num_layer} C={info.num_emb} H={info.num_head} "
         f"V={info.num_vocab} hidden={info.num_hidden}")
 
-    params_q1 = prepare_decode(params_q, info, batch_hint=1)
-    q4k_decode = _bench_decode(info, params_q1)
-    log(f"decode  Q4_K fused-loop batch1: {q4k_decode:.1f} tok/s")
+    params_m1 = prepare_decode(params_m, info, batch_hint=1)
+    q4km_decode = _bench_decode(info, params_m1)
+    log(f"decode  Q4_K_M fused-loop batch1: {q4km_decode:.1f} tok/s")
 
     # headline goes out as soon as it exists — the extras below are
     # best-effort (the device link in this environment can stall)
@@ -170,35 +176,42 @@ def main():
         json.dumps(
             {
                 "metric": "decode_tok_per_s_rwkv7_0.1b_q4km_batch1",
-                "value": round(q4k_decode, 1),
+                "value": round(q4km_decode, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(q4k_decode / BASELINE_DECODE_Q4K_TPS, 3),
+                "vs_baseline": round(q4km_decode / BASELINE_DECODE_Q4K_TPS, 3),
             }
         ),
         flush=True,
     )
 
-    signal.alarm(300)  # extras get their own shorter budget
+    signal.alarm(380)  # extras get their own budget
     try:
-        del params_q1
-        params_q8 = prepare_decode(params_q, info, batch_hint=8)
-        q4k_decode8 = _bench_decode(info, params_q8, B=8)
+        # serving batch on the real format first (most-reported extra)
+        q4km_decode8 = _bench_decode(info, params_m1, B=8)
+        log(f"decode  Q4_K_M fused-loop batch8: {q4km_decode8:.1f} tok/s")
+        del params_m1, params_m
+
+        # pure-Q4_K model: the rounds-1-3 headline config (continuity)
+        log("building pure-Q4_K model (rounds 1-3 headline config)...")
+        info, params_q = synthetic_v7_params(quant="q4k")
+        params_qp = prepare_decode(params_q, info, batch_hint=1)
+        q4k_decode = _bench_decode(info, params_qp)
+        log(f"decode  Q4_K fused-loop batch1: {q4k_decode:.1f} tok/s")
+        q4k_decode8 = _bench_decode(info, params_qp, B=8)
         log(f"decode  Q4_K fused-loop batch8: {q4k_decode8:.1f} tok/s")
-        q4k_percall = _bench_decode_percall(info, params_q8)
-        del params_q8
-        log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
-        params_q16 = prepare_decode(params_q, info, batch_hint=16)
-        q4k_decode16 = _bench_decode(info, params_q16, B=16)
+        q4k_decode16 = _bench_decode(info, params_qp, B=16)
         log(f"decode  Q4_K fused-loop batch16: {q4k_decode16:.1f} tok/s")
         # plain-bf16 wide path (decode_precise=False): the max-throughput
         # accuracy class for batched serving (default is FMA-exact)
         from web_rwkv_gguf_tpu.ops.pallas import config as _pcfg
 
         _pcfg.wide_precise = False
-        q4k_decode16f = _bench_decode(info, params_q16, B=16)
+        q4k_decode16f = _bench_decode(info, params_qp, B=16)
         _pcfg.wide_precise = True
-        del params_q16
         log(f"decode  Q4_K batch16 plain-bf16: {q4k_decode16f:.1f} tok/s")
+        q4k_percall = _bench_decode_percall(info, params_qp)
+        del params_qp
+        log(f"decode  Q4_K per-call dispatch: {q4k_percall:.1f} tok/s")
         q4k_prefill = _bench_prefill(info, params_q)
         log(f"prefill Q4_K (T=256):          {q4k_prefill:.0f} tok/s")
         # Engine(prefill_dense=True) path: prefill against one-time-cached
@@ -234,13 +247,6 @@ def main():
         _ = np.asarray(jax.tree.leaves(_params_l)[0]).ravel()[:1]
         log(f"gguf load (L4 C256 V2048 Q4_K): {time.perf_counter()-t0:.2f}s")
         del _params_l, raw
-
-        # true Q4_K_M placement (llama.cpp: Q6_K output head) — last so a
-        # slow model build cannot starve the extras above
-        info, params_m = synthetic_v7_params(quant="q4km")
-        params_m = prepare_decode(params_m, info, batch_hint=1)
-        q4km_decode = _bench_decode(info, params_m)
-        log(f"decode  Q4_K_M (Q6_K head) b1:  {q4km_decode:.1f} tok/s")
     except Exception as e:  # pragma: no cover
         log(f"[extras skipped: {e}]")
     finally:
