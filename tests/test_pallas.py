@@ -289,6 +289,9 @@ def test_wkv6_chunked_matches_xla():
         (GgmlDType.Q5_K, 176, "dequantize_q5_k", (0, 2)),
         (GgmlDType.Q6_K, 210, "dequantize_q6_k", (208,)),
         (GgmlDType.Q4_0, 18, "dequantize_q4_0", (0,)),
+        (GgmlDType.Q4_1, 20, "dequantize_q4_1", (0, 2)),
+        (GgmlDType.Q5_0, 22, "dequantize_q5_0", (0,)),
+        (GgmlDType.Q5_1, 24, "dequantize_q5_1", (0, 2)),
         (GgmlDType.Q3_K, 110, "dequantize_q3_k", (108,)),
         (GgmlDType.Q2_K, 84, "dequantize_q2_k", (80, 82)),
     ],

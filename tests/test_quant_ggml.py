@@ -12,7 +12,10 @@ from web_rwkv_gguf_tpu.quant import (
     dequantize_q2_k,
     dequantize_q3_k,
     dequantize_q4_0,
+    dequantize_q4_1,
     dequantize_q4_k,
+    dequantize_q5_0,
+    dequantize_q5_1,
     dequantize_q5_k,
     dequantize_q6_k,
     dequantize_q8_0,
@@ -45,14 +48,63 @@ def scalar_dequant_q8_0(data, n):
 
 
 def scalar_dequant_q4_0(data, n):
+    # ggml split-halves block order (llama.cpp dequantize_row_q4_0):
+    # element j = lo nibble of byte j, element j+16 = hi nibble. The
+    # reference interleaves instead (gguf.rs:60-71) — a pre-GGUF-era
+    # misread we deliberately do NOT reproduce.
     out = []
     for bi in range(n // 32):
         blk = data[bi * 18 : bi * 18 + 18]
         d = _f16(blk[0], blk[1])
-        for i in range(16):
-            b = blk[2 + i]
-            out.append(((b & 0x0F) - 8) * d)
-            out.append((((b >> 4) & 0x0F) - 8) * d)
+        lo = [((blk[2 + i] & 0x0F) - 8) * d for i in range(16)]
+        hi = [(((blk[2 + i] >> 4) & 0x0F) - 8) * d for i in range(16)]
+        out.extend(lo)
+        out.extend(hi)
+    return np.array(out, np.float32)
+
+
+def scalar_dequant_q4_1(data, n):
+    # llama.cpp dequantize_row_q4_1: v = d*nib + m, split-halves order
+    out = []
+    for bi in range(n // 32):
+        blk = data[bi * 20 : bi * 20 + 20]
+        d = _f16(blk[0], blk[1])
+        m = _f16(blk[2], blk[3])
+        lo = [(blk[4 + i] & 0x0F) * d + m for i in range(16)]
+        hi = [((blk[4 + i] >> 4) & 0x0F) * d + m for i in range(16)]
+        out.extend(lo)
+        out.extend(hi)
+    return np.array(out, np.float32)
+
+
+def _scalar_q5_codes(blk, qh_off, qs_off):
+    qh = (blk[qh_off] | (blk[qh_off + 1] << 8) | (blk[qh_off + 2] << 16)
+          | (blk[qh_off + 3] << 24))
+    lo = [(blk[qs_off + j] & 0x0F) | (((qh >> j) & 1) << 4)
+          for j in range(16)]
+    hi = [((blk[qs_off + j] >> 4) & 0x0F) | (((qh >> (j + 16)) & 1) << 4)
+          for j in range(16)]
+    return lo + hi
+
+
+def scalar_dequant_q5_0(data, n):
+    # llama.cpp dequantize_row_q5_0: v = d*(q5-16); qh holds bit 4
+    out = []
+    for bi in range(n // 32):
+        blk = data[bi * 22 : bi * 22 + 22]
+        d = _f16(blk[0], blk[1])
+        out.extend((q - 16) * d for q in _scalar_q5_codes(blk, 2, 6))
+    return np.array(out, np.float32)
+
+
+def scalar_dequant_q5_1(data, n):
+    # llama.cpp dequantize_row_q5_1: v = d*q5 + m
+    out = []
+    for bi in range(n // 32):
+        blk = data[bi * 24 : bi * 24 + 24]
+        d = _f16(blk[0], blk[1])
+        m = _f16(blk[2], blk[3])
+        out.extend(q * d + m for q in _scalar_q5_codes(blk, 4, 8))
     return np.array(out, np.float32)
 
 
@@ -208,6 +260,9 @@ def scalar_dequant_q2_k(data, n):
 CASES = [
     (34, 32, dequantize_q8_0, scalar_dequant_q8_0),
     (18, 32, dequantize_q4_0, scalar_dequant_q4_0),
+    (20, 32, dequantize_q4_1, scalar_dequant_q4_1),
+    (22, 32, dequantize_q5_0, scalar_dequant_q5_0),
+    (24, 32, dequantize_q5_1, scalar_dequant_q5_1),
     (144, 256, dequantize_q4_k, scalar_dequant_q4_k),
     (176, 256, dequantize_q5_k, scalar_dequant_q5_k),
     (210, 256, dequantize_q6_k, scalar_dequant_q6_k),

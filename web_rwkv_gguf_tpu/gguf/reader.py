@@ -436,6 +436,9 @@ class GgufFile:
         info = self.tensors[gname]
         if info.dtype not in (
             GgmlDType.Q4_0,
+            GgmlDType.Q4_1,
+            GgmlDType.Q5_0,
+            GgmlDType.Q5_1,
             GgmlDType.Q8_0,
             GgmlDType.Q4_K,
             GgmlDType.Q5_K,

@@ -383,6 +383,39 @@ class Matrix:
                       **_gemv_ops("qk_nomin", scales, None, m, k, k,
                                   codes.dtype == np.int8)}, device),
             )
+        if dtype == GgmlDType.Q4_1:
+            # d·nib + m == the qk form with mn = −m (legacy type the
+            # reference cannot load at all, gguf.rs:1714)
+            if k % 64 == 0:
+                codes, scales, mins = repack.repack_q4_1(raw, m, k)
+                return cls(
+                    "qk",
+                    (m, k),
+                    _dev({"codes": codes, "scales": scales, "mins": mins,
+                          **_gemv_ops("qk", scales, mins, m, k, k // 2,
+                                      False)}, device),
+                )
+            codes, scales, mins = repack.repack_q4_1_bytes(raw, m, k)
+            return cls(
+                "qk_b",
+                (m, k),
+                _dev({"codes": codes, "scales": scales, "mins": mins,
+                      **_gemv_ops("qk_b", scales, mins, m, k, k,
+                                  False)}, device),
+            )
+        if dtype in (GgmlDType.Q5_0, GgmlDType.Q5_1):
+            # 5-bit byte codes on the Q5_K qk_b path (mn = 16·d / −m);
+            # legacy types the reference cannot load (gguf.rs:1714)
+            fn = (repack.repack_q5_0 if dtype == GgmlDType.Q5_0
+                  else repack.repack_q5_1)
+            codes, scales, mins = fn(raw, m, k)
+            return cls(
+                "qk_b",
+                (m, k),
+                _dev({"codes": codes, "scales": scales, "mins": mins,
+                      **_gemv_ops("qk_b", scales, mins, m, k, k,
+                                  False)}, device),
+            )
         raise UnsupportedTensorType(f"no direct-quantized repack for {dtype!r}")
 
     # -- compute -----------------------------------------------------------

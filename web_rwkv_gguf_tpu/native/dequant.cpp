@@ -94,7 +94,9 @@ void dequant_q8_0(const uint8_t* data, int64_t n_blocks, float* out) {
   });
 }
 
-// Q4_0: 18B/32el, v = d * (nib - 8), lo nibble then hi per byte
+// Q4_0: 18B/32el, v = d * (nib - 8); ggml split-halves element order
+// (element j = lo nibble of byte j, j+16 = hi), matching llama.cpp
+// dequantize_row_q4_0 — NOT the reference's interleaved misread.
 void dequant_q4_0(const uint8_t* data, int64_t n_blocks, float* out) {
   parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
     for (int64_t b = lo_; b < hi_; b++) {
@@ -102,8 +104,8 @@ void dequant_q4_0(const uint8_t* data, int64_t n_blocks, float* out) {
       float d = f16at(blk);
       float* o = out + b * 32;
       for (int i = 0; i < 16; i++) {
-        o[2 * i] = d * (float)((int)(blk[2 + i] & 0xF) - 8);
-        o[2 * i + 1] = d * (float)((int)(blk[2 + i] >> 4) - 8);
+        o[i] = d * (float)((int)(blk[2 + i] & 0xF) - 8);
+        o[i + 16] = d * (float)((int)(blk[2 + i] >> 4) - 8);
       }
     }
   });

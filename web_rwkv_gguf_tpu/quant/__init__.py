@@ -15,7 +15,10 @@ from .ggml import (  # noqa: F401
     dequantize_q2_k,
     dequantize_q3_k,
     dequantize_q4_0,
+    dequantize_q4_1,
     dequantize_q4_k,
+    dequantize_q5_0,
+    dequantize_q5_1,
     dequantize_q5_k,
     dequantize_q6_k,
     dequantize_q8_0,

@@ -122,17 +122,70 @@ def dequantize_q8_0(data, num_elements: int) -> np.ndarray:
 def dequantize_q4_0(data, num_elements: int) -> np.ndarray:
     """Q4_0: 32 el/block = [d: f16][qs: u4*32], v = d * (q - 8).
 
-    Element order within a block: for byte i, element 2i = low nibble,
-    element 2i+1 = high nibble (ref emits lo then hi per byte,
-    src/runtime/gguf.rs:60-71).
+    Element order within a block follows ggml (llama.cpp
+    ``dequantize_row_q4_0``): element j = low nibble of byte j, element
+    j+16 = high nibble — SPLIT HALVES, the GGUF-era standard. NOTE the
+    reference deviates here (src/runtime/gguf.rs:60-71 emits lo/hi
+    interleaved — the pre-GGUF "v1" order), which permutes every
+    32-block of a real llama.cpp Q4_0 file; we follow the format spec,
+    not the reference's bug.
     """
     b = _blocks(data, 18)
     d = _f16(b[:, 0:2])[:, None]
     qs = b[:, 2:18]
     lo = (qs & 0x0F).astype(np.int8) - 8
     hi = (qs >> 4).astype(np.int8) - 8
-    q = np.stack([lo, hi], axis=-1).reshape(-1, 32).astype(np.float32)
+    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
     return (d * q).reshape(-1)[:num_elements]
+
+
+def dequantize_q4_1(data, num_elements: int) -> np.ndarray:
+    """Q4_1: 32 el/block = [d: f16][m: f16][qs: u4*32], v = d * q + m.
+
+    ggml split-halves block order (llama.cpp ``dequantize_row_q4_1``):
+    element j = low nibble of byte j, element j+16 = high nibble. The
+    reference declares this type but cannot dequantize it
+    (gguf.rs:1714, UnsupportedTensorType) — supported here outright.
+    """
+    b = _blocks(data, 20)
+    d = _f16(b[:, 0:2])[:, None]
+    mm = _f16(b[:, 2:4])[:, None]
+    qs = b[:, 4:20]
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).astype(np.float32)
+    return (d * q + mm).reshape(-1)[:num_elements]
+
+
+def q5_codes(qs: np.ndarray, qh_bytes: np.ndarray) -> np.ndarray:
+    """5-bit codes ``[n, 32]`` (values 0..31, split-halves element
+    order) from Q5_0/Q5_1 nibble bytes ``qs [n, 16]`` and the 32-bit
+    high-bit word ``qh_bytes [n, 4]``: element j = lo nibble of byte j
+    | (qh bit j << 4); element j+16 = hi nibble | (qh bit j+16 << 4)
+    (llama.cpp ``dequantize_row_q5_0/q5_1``)."""
+    qh = np.ascontiguousarray(qh_bytes).view(np.uint32).astype(np.uint64)
+    j = np.arange(16, dtype=np.uint64)
+    lo = (qs & 0x0F).astype(np.uint64) | (((qh >> j) & 1) << 4)
+    hi = (qs >> 4).astype(np.uint64) | (((qh >> (j + 16)) & 1) << 4)
+    return np.concatenate([lo, hi], axis=-1).astype(np.uint8)
+
+
+def dequantize_q5_0(data, num_elements: int) -> np.ndarray:
+    """Q5_0: 32 el/block = [d: f16][qh: u32][qs: u4*32],
+    v = d * (q5 - 16) with the 5th bit from ``qh`` (see
+    :func:`q5_codes`). Not dequantizable by the reference."""
+    b = _blocks(data, 22)
+    d = _f16(b[:, 0:2])[:, None]
+    q = q5_codes(b[:, 6:22], b[:, 2:6]).astype(np.float32) - 16.0
+    return (d * q).reshape(-1)[:num_elements]
+
+
+def dequantize_q5_1(data, num_elements: int) -> np.ndarray:
+    """Q5_1: 32 el/block = [d: f16][m: f16][qh: u32][qs: u4*32],
+    v = d * q5 + m. Not dequantizable by the reference."""
+    b = _blocks(data, 24)
+    d = _f16(b[:, 0:2])[:, None]
+    mm = _f16(b[:, 2:4])[:, None]
+    q = q5_codes(b[:, 8:24], b[:, 4:8]).astype(np.float32)
+    return (d * q + mm).reshape(-1)[:num_elements]
 
 
 def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -288,6 +341,9 @@ def dequantize_q2_k(data, num_elements: int) -> np.ndarray:
 _DEQUANTIZERS = {
     GgmlDType.Q8_0: dequantize_q8_0,
     GgmlDType.Q4_0: dequantize_q4_0,
+    GgmlDType.Q4_1: dequantize_q4_1,
+    GgmlDType.Q5_0: dequantize_q5_0,
+    GgmlDType.Q5_1: dequantize_q5_1,
     GgmlDType.Q4_K: dequantize_q4_k,
     GgmlDType.Q5_K: dequantize_q5_k,
     GgmlDType.Q6_K: dequantize_q6_k,

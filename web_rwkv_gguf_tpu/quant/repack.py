@@ -201,7 +201,11 @@ def repack_q4_0(raw, m: int, k: int):
     the ENTIRE "qk" fast path (0.5 B/weight code DMA and the packed-pair
     kernels) instead of byte codes at twice the bytes and planes.
     Requires k % 64 == 0 (both split halves must stay 32-group-aligned);
-    callers fall back to :func:`repack_q4_0_bytes` otherwise."""
+    callers fall back to :func:`repack_q4_0_bytes` otherwise.
+
+    Block element order is ggml's split halves (element j = lo nibble
+    of byte j, j+16 = hi — see ``ggml.dequantize_q4_0``), not the
+    reference's interleaved misread."""
     b = _blocks(raw, 18)
     n = b.shape[0]
     assert n * 32 == m * k and k % 64 == 0
@@ -209,7 +213,7 @@ def repack_q4_0(raw, m: int, k: int):
     qs = b[:, 2:18]
     lo = qs & 0x0F
     hi = qs >> 4
-    codes = np.stack([lo, hi], axis=-1).reshape(n, 32).reshape(m, k)
+    codes = np.concatenate([lo, hi], axis=-1).reshape(m, k)
     half = k // 2
     packed = (codes[:, :half] | (codes[:, half:] << 4)).astype(np.uint8)
     scales = d.reshape(m, k // 32)
@@ -226,8 +230,76 @@ def repack_q4_0_bytes(raw, m: int, k: int):
     qs = b[:, 2:18]
     lo = (qs & 0x0F).astype(np.int8) - 8
     hi = (qs >> 4).astype(np.int8) - 8
-    codes = np.stack([lo, hi], axis=-1).reshape(n, 32)
+    codes = np.concatenate([lo, hi], axis=-1)  # ggml split-halves order
     return codes.reshape(m, k), d.reshape(m, k // 32)
+
+
+def repack_q4_1(raw, m: int, k: int):
+    """→ (codes u8 [M, K/2] split-halves-packed, scales f32 [M, K/32],
+    mins f32 [M, K/32]).
+
+    Q4_1 dequantizes as ``d·nib + m`` — the Q4_K group form
+    ``s·nib − mn`` with ``mn = −m``, so it rides the full "qk" fast
+    path like Q4_0 (requires k % 64 == 0; callers fall back to
+    :func:`repack_q4_1_bytes`). The reference cannot load this type at
+    all (gguf.rs:1714)."""
+    b = _blocks(raw, 20)
+    n = b.shape[0]
+    assert n * 32 == m * k and k % 64 == 0
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    mm = _f16(b[:, 2:4]).astype(np.float32)
+    qs = b[:, 4:20]
+    codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).reshape(m, k)
+    half = k // 2
+    packed = (codes[:, :half] | (codes[:, half:] << 4)).astype(np.uint8)
+    return packed, d.reshape(m, k // 32), -mm.reshape(m, k // 32)
+
+
+def repack_q4_1_bytes(raw, m: int, k: int):
+    """→ (codes u8 [M, K] values 0..15, scales, mins) — the qk_b byte
+    fallback for k % 64 != 0 (``mn = −m``)."""
+    b = _blocks(raw, 20)
+    n = b.shape[0]
+    assert n * 32 == m * k
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    mm = _f16(b[:, 2:4]).astype(np.float32)
+    qs = b[:, 4:20]
+    codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).astype(np.uint8)
+    return codes.reshape(m, k), d.reshape(m, k // 32), -mm.reshape(m, k // 32)
+
+
+def repack_q5_0(raw, m: int, k: int):
+    """→ (codes u8 [M, K] values 0..31, scales f32 [M, K/32], mins
+    f32 [M, K/32]).
+
+    Q5_0 dequantizes as ``d·(q5 − 16)`` = ``s·q − mn`` with
+    ``mn = 16·d`` — the same qk_b byte form as Q5_K (5-bit codes fit
+    the single-field 7-bit plane), group size 32. The reference cannot
+    load this type (gguf.rs:1714)."""
+    from .ggml import q5_codes
+
+    b = _blocks(raw, 22)
+    n = b.shape[0]
+    assert n * 32 == m * k
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    codes = q5_codes(b[:, 6:22], b[:, 2:6]).reshape(m, k)
+    scales = d.reshape(m, k // 32)
+    return codes, scales, 16.0 * scales
+
+
+def repack_q5_1(raw, m: int, k: int):
+    """→ (codes u8 [M, K] values 0..31, scales, mins) — qk_b with
+    ``mn = −m`` (Q5_1: ``v = d·q5 + m``). Unsupported by the
+    reference."""
+    from .ggml import q5_codes
+
+    b = _blocks(raw, 24)
+    n = b.shape[0]
+    assert n * 32 == m * k
+    d = _f16(b[:, 0:2]).astype(np.float32)
+    mm = _f16(b[:, 2:4]).astype(np.float32)
+    codes = q5_codes(b[:, 8:24], b[:, 4:8]).reshape(m, k)
+    return codes, d.reshape(m, k // 32), -mm.reshape(m, k // 32)
 
 
 def repack_q3_k(raw, m: int, k: int):
