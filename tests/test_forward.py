@@ -217,6 +217,43 @@ def test_quantized_q6k_q5k_load_close_to_f32():
         assert np.abs(xf - lq).mean() < limit, (q, np.abs(xf - lq).mean())
 
 
+def test_quantized_legacy_formats_load_direct():
+    """Q4_0/Q4_1/Q5_0/Q5_1 GGUF files load direct onto the existing
+    fast paths (Q4_0/Q4_1: split-halves nibble "qk"; Q5_0/Q5_1: the
+    Q5_K byte "qk_b" form) and the forward matches the same file's
+    f16-dequant load. The reference can only dequantize Q4_0 of these
+    — Q4_1/Q5_0/Q5_1 are load errors there (ref: gguf.rs:1714)."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    lens = jnp.asarray([5], jnp.int32)
+    for q, kind in (
+        (GgmlDType.Q4_0, "qk"),
+        (GgmlDType.Q4_1, "qk"),
+        (GgmlDType.Q5_0, "qk_b"),
+        (GgmlDType.Q5_1, "qk_b"),
+    ):
+        raw_q = fixtures.make_v7_gguf(
+            seed=6, n_emb=256, head_size=64, n_hidden=256, n_vocab=64,
+            quantize=q,
+        )
+        info_q, params_q = load_model(GgufFile(raw_q))
+        wk = params_q["blocks"]["att"]["Wk"]
+        assert wk.kind == kind, (q, wk.kind)
+
+        info_d, params_d = load_model(
+            GgufFile(raw_q, allow_quantized_direct=False)
+        )
+        assert params_d["blocks"]["att"]["Wk"].kind == "dense"
+        xq, _ = forward_chunk(info_q, params_q, init_state(info_q, 1),
+                              tokens, lens)
+        xd, _ = forward_chunk(info_d, params_d, init_state(info_d, 1),
+                              tokens, lens)
+        lq = np.asarray(logits_head(params_q, xq[:, -1]))
+        ld = np.asarray(logits_head(params_d, xd[:, -1]))
+        assert np.abs(lq - ld).mean() < 0.2, (q, np.abs(lq - ld).mean())
+
+
 def test_quantized_q3k_q2k_load_direct():
     """Q2_K/Q3_K GGUF files reach their native kernels end-to-end: the
     direct-quantized load produces qk_b/qk_nomin matrices WITH native

@@ -257,6 +257,32 @@ def scalar_dequant_q2_k(data, n):
     return np.array(out, np.float32)
 
 
+def test_legacy_quantize_roundtrip():
+    """The legacy encoders (llama.cpp quantize_row_* semantics) round-
+    trip within one quantization step per block (the signed-absmax _0
+    variants hit ~1.0 step at the extreme opposite the anchor — that
+    is llama.cpp's own behavior; order/packing bugs would show up as
+    many steps)."""
+    from web_rwkv_gguf_tpu.quant import ggml as G
+
+    rng = np.random.default_rng(11)
+    v = (rng.normal(size=(64, 32)) * rng.uniform(0.01, 2.0, (64, 1))).astype(
+        np.float32
+    )
+    flat = v.reshape(-1)
+    amax = np.abs(v).max(axis=1)
+    rng_b = v.max(axis=1) - v.min(axis=1)
+    for qfn, dfn, step in (
+        (G.quantize_q4_0, G.dequantize_q4_0, amax / 8.0),
+        (G.quantize_q4_1, G.dequantize_q4_1, rng_b / 15.0),
+        (G.quantize_q5_0, G.dequantize_q5_0, amax / 16.0),
+        (G.quantize_q5_1, G.dequantize_q5_1, rng_b / 31.0),
+    ):
+        out = dfn(qfn(flat), flat.size).reshape(64, 32)
+        err = np.abs(out - v).max(axis=1)
+        assert (err <= step * 1.01 + 1e-4).all(), (qfn.__name__, (err / step).max())
+
+
 CASES = [
     (34, 32, dequantize_q8_0, scalar_dequant_q8_0),
     (18, 32, dequantize_q4_0, scalar_dequant_q4_0),

@@ -147,6 +147,8 @@ def convert(sd: dict[str, np.ndarray], outtype: str = "f16") -> GgufWriter:
         "f32": None, "f16": None, "q8_0": GgmlDType.Q8_0, "q4_k": GgmlDType.Q4_K,
         "q5_k": GgmlDType.Q5_K, "q6_k": GgmlDType.Q6_K,
         "q3_k": GgmlDType.Q3_K, "q2_k": GgmlDType.Q2_K,
+        "q4_0": GgmlDType.Q4_0, "q4_1": GgmlDType.Q4_1,
+        "q5_0": GgmlDType.Q5_0, "q5_1": GgmlDType.Q5_1,
     }[outtype]
     cast = np.float32 if outtype == "f32" else np.float16
 
@@ -230,7 +232,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help=".pth or .st checkpoint")
     p.add_argument("--output", required=True)
-    p.add_argument("--outtype", default="f16", choices=["f32", "f16", "q8_0", "q4_k", "q5_k", "q6_k", "q3_k", "q2_k"])
+    p.add_argument("--outtype", default="f16", choices=["f32", "f16", "q8_0", "q4_k", "q5_k", "q6_k", "q3_k", "q2_k", "q4_0", "q4_1", "q5_0", "q5_1"])
     p.add_argument(
         "--format", default=None, choices=["gguf", "st"],
         help="output container (default: from output extension; 'st' mirrors "

@@ -131,6 +131,13 @@ class GgufWriter:
 
             ggml = GgmlDType.Q2_K
             data = quantize_q2_k(array.astype(np.float32).reshape(-1))
+        elif quantize in (GgmlDType.Q4_0, GgmlDType.Q4_1,
+                          GgmlDType.Q5_0, GgmlDType.Q5_1):
+            from ..quant import ggml as _g
+
+            ggml = quantize
+            fn = getattr(_g, f"quantize_{quantize.name.lower()}")
+            data = fn(array.astype(np.float32).reshape(-1))
         else:
             raise UnsupportedTensorType(f"unsupported quantization target: {quantize!r}")
         self._tensors.append((name, dims_gguf, ggml, data))

@@ -407,6 +407,77 @@ def quantize_q8_0(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def quantize_q4_0(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 32) to Q4_0 blocks
+    (llama.cpp ``quantize_row_q4_0_ref``: d = signed-absmax / −8,
+    q = trunc(v/d + 8.5) clipped to 15, split-halves element order)."""
+    v = np.asarray(values, np.float32).reshape(-1, 32)
+    mx = v[np.arange(v.shape[0]), np.abs(v).argmax(axis=1)]
+    d = (mx / -8.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    inv = np.where(ds != 0, 1.0 / np.where(ds != 0, ds, 1.0), 0.0)
+    q = np.clip(np.floor(v * inv[:, None] + 8.5), 0, 15).astype(np.uint8)
+    out = np.empty((v.shape[0], 18), np.uint8)
+    out[:, 0:2] = d[:, None].view(np.uint8)
+    out[:, 2:18] = q[:, :16] | (q[:, 16:] << 4)
+    return out.tobytes()
+
+
+def quantize_q4_1(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 32) to Q4_1 blocks
+    (llama.cpp ``quantize_row_q4_1_ref``: d = (max−min)/15, m = min)."""
+    v = np.asarray(values, np.float32).reshape(-1, 32)
+    mn, mx = v.min(axis=1), v.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    q = np.clip(np.floor((v - mn[:, None]) * inv[:, None] + 0.5), 0, 15)
+    q = q.astype(np.uint8)
+    out = np.empty((v.shape[0], 20), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:20] = q[:, :16] | (q[:, 16:] << 4)
+    return out.tobytes()
+
+
+def _q5_pack(q: np.ndarray, out: np.ndarray, qh_off: int, qs_off: int):
+    """Pack 5-bit codes ``q [n, 32]`` into nibble bytes + high-bit word."""
+    out[:, qs_off : qs_off + 16] = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
+    bits = ((q >> 4) & 1).astype(np.uint64)
+    qh = (bits << np.arange(32, dtype=np.uint64)).sum(axis=1).astype(np.uint32)
+    out[:, qh_off : qh_off + 4] = qh[:, None].view(np.uint8)
+
+
+def quantize_q5_0(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 32) to Q5_0 blocks
+    (llama.cpp ``quantize_row_q5_0_ref``: d = signed-absmax / −16)."""
+    v = np.asarray(values, np.float32).reshape(-1, 32)
+    mx = v[np.arange(v.shape[0]), np.abs(v).argmax(axis=1)]
+    d = (mx / -16.0).astype(np.float16)
+    ds = d.astype(np.float32)
+    inv = np.where(ds != 0, 1.0 / np.where(ds != 0, ds, 1.0), 0.0)
+    q = np.clip(np.floor(v * inv[:, None] + 16.5), 0, 31).astype(np.uint8)
+    out = np.empty((v.shape[0], 22), np.uint8)
+    out[:, 0:2] = d[:, None].view(np.uint8)
+    _q5_pack(q, out, 2, 6)
+    return out.tobytes()
+
+
+def quantize_q5_1(values: np.ndarray) -> bytes:
+    """Quantize f32 values (multiple of 32) to Q5_1 blocks
+    (llama.cpp ``quantize_row_q5_1_ref``: d = (max−min)/31, m = min)."""
+    v = np.asarray(values, np.float32).reshape(-1, 32)
+    mn, mx = v.min(axis=1), v.max(axis=1)
+    d = (mx - mn) / 31.0
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    q = np.clip(np.floor((v - mn[:, None]) * inv[:, None] + 0.5), 0, 31)
+    q = q.astype(np.uint8)
+    out = np.empty((v.shape[0], 24), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    _q5_pack(q, out, 4, 8)
+    return out.tobytes()
+
+
 def quantize_q4_k(values: np.ndarray) -> bytes:
     """Quantize f32 values (multiple of 256) to Q4_K super-blocks.
 

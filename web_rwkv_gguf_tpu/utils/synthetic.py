@@ -244,19 +244,22 @@ def synthetic_v7_params(
         # "q4km" mirrors llama.cpp's Q4_K_M placement: Q4_K layer
         # matrices, Q6_K output head (passed via fmt at the call sites)
         fmt = fmt or ("q4k" if quant == "q4km" else quant)
-        if fmt in ("q4k", "q8_0", "q6k", "q5k", "q3k", "q2k"):
-            from ..quant.ggml import (
-                GgmlDType, quantize_q2_k, quantize_q3_k, quantize_q4_k,
-                quantize_q5_k, quantize_q6_k, quantize_q8_0,
-            )
+        if fmt in ("q4k", "q8_0", "q6k", "q5k", "q3k", "q2k",
+                   "q4_0", "q4_1", "q5_0", "q5_1"):
+            from ..quant import ggml as _g
+            from ..quant.ggml import GgmlDType
 
             qfn, qdt = {
-                "q4k": (quantize_q4_k, GgmlDType.Q4_K),
-                "q8_0": (quantize_q8_0, GgmlDType.Q8_0),
-                "q6k": (quantize_q6_k, GgmlDType.Q6_K),
-                "q5k": (quantize_q5_k, GgmlDType.Q5_K),
-                "q3k": (quantize_q3_k, GgmlDType.Q3_K),
-                "q2k": (quantize_q2_k, GgmlDType.Q2_K),
+                "q4k": (_g.quantize_q4_k, GgmlDType.Q4_K),
+                "q8_0": (_g.quantize_q8_0, GgmlDType.Q8_0),
+                "q6k": (_g.quantize_q6_k, GgmlDType.Q6_K),
+                "q5k": (_g.quantize_q5_k, GgmlDType.Q5_K),
+                "q3k": (_g.quantize_q3_k, GgmlDType.Q3_K),
+                "q2k": (_g.quantize_q2_k, GgmlDType.Q2_K),
+                "q4_0": (_g.quantize_q4_0, GgmlDType.Q4_0),
+                "q4_1": (_g.quantize_q4_1, GgmlDType.Q4_1),
+                "q5_0": (_g.quantize_q5_0, GgmlDType.Q5_0),
+                "q5_1": (_g.quantize_q5_1, GgmlDType.Q5_1),
             }[fmt]
             per = []
             w2 = w.reshape(-1, *shape[-2:]) if len(shape) == 3 else w[None]
