@@ -150,3 +150,36 @@ def test_pp_generator_state_advances_per_group():
     wkv = np.asarray(state["wkv"])  # [L, G, B, H, K, V]
     assert np.abs(wkv).max() > 0
     assert not np.allclose(wkv[:, 0], wkv[:, 1])
+
+
+def test_pipelined_decoder_api():
+    """The PipelinedDecoder product surface: preps the decode blocks
+    itself from loader params, carries state across generate() calls,
+    and its greedy stream equals one continuous single-device greedy
+    run of the same kernels (two segments == one 2x-long segment)."""
+    from web_rwkv_gguf_tpu.parallel import PipelinedDecoder
+    from web_rwkv_gguf_tpu.parallel.decode_pp import greedy_scan_reference
+
+    S, G, B, steps = 2, 2, 2, 3
+    info, params = _tiny(n_layer=4)
+    mesh = Mesh(np.array(jax.devices()[:S]), ("pp",))
+
+    dec = PipelinedDecoder(info, params, mesh)  # no mega7: prepped inside
+    assert dec.num_stages == S
+    token0 = jnp.asarray(
+        (np.arange(G * B).reshape(G, B) * 7 + 1) % 64, jnp.int32
+    )
+    t1 = dec.generate(token0, steps)
+    assert t1.shape == (G, B, steps)
+    t2 = dec.generate(t1[..., -1], steps)  # state carries across calls
+
+    params = dict(params)
+    params["mega7"] = prep_decode7(params, info)
+    for g in range(G):
+        ref, _ = greedy_scan_reference(info, params, token0[g], 2 * steps)
+        got = np.concatenate([np.asarray(t1[g]), np.asarray(t2[g])], axis=-1)
+        np.testing.assert_array_equal(got, np.asarray(ref), err_msg=f"g{g}")
+
+    dec.reset()
+    t3 = dec.generate(token0, steps)  # fresh state == first segment
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(t1))

@@ -19,3 +19,10 @@ from .sharding import (  # noqa: F401
 from .sequence import make_seq_parallel_prefill  # noqa: F401
 from .tensor import make_tp_forward, shard_params_tp  # noqa: F401
 from .pipeline import make_pipeline_forward, pipeline_state  # noqa: F401
+from .decode_pp import (  # noqa: F401
+    PipelinedDecoder,
+    greedy_scan_reference,
+    make_pp_generator,
+    make_pp_params,
+    pp_state,
+)

@@ -263,3 +263,90 @@ def make_pp_generator(
         return mapped(pp_traced, state, token0, key)
 
     return wrapper
+
+
+class PipelinedDecoder:
+    """Product surface for the pipelined fused decode: own the placed
+    params, the [L, G, B, ...] state, and a per-(G, B, steps) generator
+    cache, so serving code can just call :meth:`generate`.
+
+    ::
+
+        dec = PipelinedDecoder(info, params, mesh)        # mesh has "pp"
+        toks = dec.generate(token0, steps=64)             # [G, B, 64]
+        toks = dec.generate(toks[..., -1], steps=64)      # continues
+
+    ``params`` may come straight from ``load_model`` — the layer-scan
+    decode blocks are prepared here if absent. Greedy output is
+    token-for-token identical to the single-device fused generator
+    (pinned by tests/test_decode_pp.py).
+    """
+
+    def __init__(
+        self,
+        info: ModelInfo,
+        params: dict,
+        mesh: Mesh,
+        *,
+        axis: str = "pp",
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
+        rescale: int | None = None,
+    ):
+        if "mega7" not in params:
+            from ..ops.pallas.layer7 import prep_decode7
+
+            mega = prep_decode7(params, info)
+            if mega is None:
+                raise UnsupportedFeature(
+                    "pipelined decode needs a uniformly quantized V7 "
+                    "stack (layer-scan decode blocks)"
+                )
+            params = dict(params)
+            params["mega7"] = mega
+        self.info = info
+        self.mesh = mesh
+        self.axis = axis
+        self._static = dict(params["mega7"].static)
+        self._pp = make_pp_params(params, mesh, axis=axis)
+        self._sampling = dict(
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            rescale=rescale,
+        )
+        self._gens: dict = {}
+        self.state = None
+        self._key = jax.random.PRNGKey(0)
+
+    @property
+    def num_stages(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def reset(self, n_groups: int | None = None, batch: int | None = None):
+        """Zero the recurrent state (lazily re-created on generate if
+        sizes are omitted)."""
+        if n_groups is None or batch is None:
+            self.state = None
+        else:
+            self.state = pp_state(self.info, n_groups, batch)
+
+    def generate(self, token0, steps: int, key=None):
+        """Decode ``steps`` tokens for every lane: ``token0 [G, B]`` →
+        ``[G, B, steps]`` sampled ids (G >= pipeline stages). State
+        carries across calls; pass the previous call's last column to
+        continue."""
+        token0 = jnp.asarray(token0, jnp.int32)
+        G, B = token0.shape
+        if self.state is None:
+            self.state = pp_state(self.info, G, B)
+        gen = self._gens.get((G, B, steps))
+        if gen is None:
+            gen = make_pp_generator(
+                self.info, self.mesh, self._static, n_groups=G,
+                steps=steps, axis=self.axis, **self._sampling,
+            )
+            self._gens[(G, B, steps)] = gen
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        toks, self.state = gen(self._pp, self.state, token0, key)
+        return toks
