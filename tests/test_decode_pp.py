@@ -180,6 +180,13 @@ def test_pipelined_decoder_api():
         got = np.concatenate([np.asarray(t1[g]), np.asarray(t2[g])], axis=-1)
         np.testing.assert_array_equal(got, np.asarray(ref), err_msg=f"g{g}")
 
+    # changing (G, B) with carried state must fail loudly, not with an
+    # opaque jit shape error
+    from web_rwkv_gguf_tpu.errors import EngineError
+
+    with pytest.raises(EngineError, match="reset"):
+        dec.generate(token0[:1], steps)
+
     dec.reset()
     t3 = dec.generate(token0, steps)  # fresh state == first segment
     np.testing.assert_array_equal(np.asarray(t3), np.asarray(t1))

@@ -485,3 +485,25 @@ def test_engine_generate_first_token_on_device_sampler():
     eng2 = Engine(info, params, num_batch=1)
     topk1 = eng2.generate([prompt], max_tokens=2, temperature=5.0, top_k=1)
     assert topk1[0][0] == greedy[0][0]
+
+
+def test_auto_prefill_dense_policy():
+    """Engine(prefill_dense=None) policy: densify only when the limit
+    is KNOWN to fit (reported bytes_limit, or the TPU 16 GiB floor);
+    unknown memory on non-TPU backends must stay conservative — a
+    guessed limit could OOM a small device at construction."""
+    from web_rwkv_gguf_tpu.runtime.engine import auto_prefill_dense
+
+    GB = 1 << 30
+    # reported limit drives the decision on any platform
+    assert auto_prefill_dense(1 * GB, {"bytes_limit": 16 * GB}, "gpu")
+    assert not auto_prefill_dense(5 * GB, {"bytes_limit": 16 * GB}, "gpu")
+    # TPU with no stats (this environment): 16 GiB floor applies
+    assert auto_prefill_dense(1 * GB, {}, "tpu")
+    assert auto_prefill_dense(1 * GB, None, "tpu")
+    assert not auto_prefill_dense(5 * GB, {}, "tpu")
+    # unknown memory off-TPU: never densify without an opt-in
+    assert not auto_prefill_dense(1 * GB, {}, "gpu")
+    assert not auto_prefill_dense(1 * GB, None, "cpu")
+    # nothing quantized to densify
+    assert not auto_prefill_dense(0, {"bytes_limit": 16 * GB}, "tpu")

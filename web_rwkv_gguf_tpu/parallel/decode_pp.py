@@ -186,13 +186,16 @@ def make_pp_generator(
                 rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS,
                 v0_carry=(v0_pipe, meta),
             )
+            # gate the UPDATE VALUE, not the whole array: a
+            # jnp.where(active, dus(state), state) would read+write every
+            # [lps, G, B, ...] leaf (incl. the f32 wkv tensor) each tick;
+            # writing back the unchanged slice on inactive ticks touches
+            # only group g's [lps, B, ...] slice
             state = jax.tree.map(
-                lambda a, n_: jnp.where(
-                    active,
-                    jax.lax.dynamic_update_index_in_dim(a, n_, g, 1),
-                    a,
+                lambda a, old, n_: jax.lax.dynamic_update_index_in_dim(
+                    a, jnp.where(active, n_, old), g, 1
                 ),
-                state, new_lst,
+                state, lst, new_lst,
             )
 
             # last stage: head + on-device sampling; the sampled ids ride
@@ -239,13 +242,12 @@ def make_pp_generator(
         out = jax.lax.psum(out, axis)  # only the last stage wrote rows
         return out, state
 
-    params_spec = {
+    # "mega_static" is python metadata and never crosses the jit
+    # boundary (the wrapper strips it), so it has no spec entry
+    spec = {
         "emb": P(), "ln0": P(), "ln_out": P(), "head": P(),
         "mega_arrays": P(axis),
-        "mega_static": None,
     }
-
-    spec = {k: v for k, v in params_spec.items() if k != "mega_static"}
     mapped = jax.jit(
         shard_map(
             run,
@@ -339,6 +341,16 @@ class PipelinedDecoder:
         G, B = token0.shape
         if self.state is None:
             self.state = pp_state(self.info, G, B)
+        else:
+            # state leaves are [L, G, B, ...]; a silent rebuild would
+            # throw away carried state, so a size change must be explicit
+            sG, sB = jax.tree.leaves(self.state)[0].shape[1:3]
+            if (sG, sB) != (G, B):
+                raise EngineError(
+                    f"token0 is ({G}, {B}) lanes but the carried state is "
+                    f"({sG}, {sB}); call reset() (or reset(G, B)) before "
+                    "changing the group/batch shape"
+                )
         gen = self._gens.get((G, B, steps))
         if gen is None:
             gen = make_pp_generator(

@@ -24,7 +24,11 @@ from .ggml import (  # noqa: F401
     dequantize_q8_0,
     quantize_q2_k,
     quantize_q3_k,
+    quantize_q4_0,
+    quantize_q4_1,
     quantize_q4_k,
+    quantize_q5_0,
+    quantize_q5_1,
     quantize_q5_k,
     quantize_q6_k,
     quantize_q8_0,

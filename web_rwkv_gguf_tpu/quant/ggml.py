@@ -413,12 +413,11 @@ def quantize_q4_0(values: np.ndarray) -> bytes:
     q = trunc(v/d + 8.5) clipped to 15, split-halves element order)."""
     v = np.asarray(values, np.float32).reshape(-1, 32)
     mx = v[np.arange(v.shape[0]), np.abs(v).argmax(axis=1)]
-    d = (mx / -8.0).astype(np.float16)
-    ds = d.astype(np.float32)
-    inv = np.where(ds != 0, 1.0 / np.where(ds != 0, ds, 1.0), 0.0)
+    d = mx / -8.0  # id from the UNROUNDED f32 d (llama.cpp does the same)
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
     q = np.clip(np.floor(v * inv[:, None] + 8.5), 0, 15).astype(np.uint8)
     out = np.empty((v.shape[0], 18), np.uint8)
-    out[:, 0:2] = d[:, None].view(np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
     out[:, 2:18] = q[:, :16] | (q[:, 16:] << 4)
     return out.tobytes()
 
@@ -452,12 +451,11 @@ def quantize_q5_0(values: np.ndarray) -> bytes:
     (llama.cpp ``quantize_row_q5_0_ref``: d = signed-absmax / −16)."""
     v = np.asarray(values, np.float32).reshape(-1, 32)
     mx = v[np.arange(v.shape[0]), np.abs(v).argmax(axis=1)]
-    d = (mx / -16.0).astype(np.float16)
-    ds = d.astype(np.float32)
-    inv = np.where(ds != 0, 1.0 / np.where(ds != 0, ds, 1.0), 0.0)
+    d = mx / -16.0  # id from the UNROUNDED f32 d (llama.cpp does the same)
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
     q = np.clip(np.floor(v * inv[:, None] + 16.5), 0, 31).astype(np.uint8)
     out = np.empty((v.shape[0], 22), np.uint8)
-    out[:, 0:2] = d[:, None].view(np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
     _q5_pack(q, out, 2, 6)
     return out.tobytes()
 

@@ -13,6 +13,7 @@ chunk-size-keyed pipelines, performance-review.md:16-24).
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -23,6 +24,29 @@ from ..errors import EngineError, TensorError, UnsupportedFeature
 from ..models.forward import forward_chunk, init_state, logits_head
 from ..models.info import ModelInfo
 from .scheduler import RnnInput, RnnInputBatch, RnnOption
+
+
+# serializes Engine._precision_scope (see its docstring)
+_PRECISION_LOCK = threading.RLock()
+
+
+def auto_prefill_dense(
+    extra_bytes: int, memory_stats: dict | None, platform: str
+) -> bool:
+    """Default policy for ``Engine(prefill_dense=None)``: cache dense
+    bf16 prefill weights when the extra HBM clearly fits — quantized +
+    dense + headroom under ~60% of device memory.
+
+    The limit comes from ``memory_stats()['bytes_limit']`` when the
+    backend reports it. TPUs that don't (this environment's tunnel
+    returns ``{}``) fall back to the 16 GiB v5e floor — every serving
+    TPU has at least that. On NON-TPU backends an unknown limit stays
+    conservative (no dense cache): a guessed-large limit could OOM a
+    small device at Engine construction with no opt-in."""
+    limit = int((memory_stats or {}).get("bytes_limit", 0))
+    if not limit and platform == "tpu":
+        limit = 16 << 30
+    return limit > 0 and extra_bytes > 0 and 2.3 * extra_bytes < 0.6 * limit
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -137,12 +161,14 @@ class Engine:
             from ..models.loader import dense_cache_bytes
 
             try:
-                stats = jax.devices()[0].memory_stats() or {}
-                limit = int(stats.get("bytes_limit", 0)) or (16 << 30)
+                dev = jax.devices()[0]
+                stats = dev.memory_stats()
+                platform = dev.platform
             except Exception:  # backends without memory_stats
-                limit = 16 << 30
-            extra = dense_cache_bytes(params)
-            prefill_dense = extra > 0 and 2.3 * extra < 0.6 * limit
+                stats, platform = None, ""
+            prefill_dense = auto_prefill_dense(
+                dense_cache_bytes(params), stats, platform
+            )
         if prefill_dense and mesh is None:
             from ..models.loader import densify_matrices
 
@@ -263,7 +289,13 @@ class Engine:
         precision: jit retraces happen inside engine entry points, so
         setting the config only for their duration gives per-engine
         semantics (each engine's jit objects cache programs traced under
-        its own value; cached executions don't read the flag at all)."""
+        its own value; cached executions don't read the flag at all).
+        A process-wide lock serializes these scopes — without it, two
+        engines with different settings inferring from different
+        THREADS could interleave: one engine's retrace would read the
+        other's value and permanently cache the wrong accuracy class.
+        Only engines that explicitly set ``decode_precise`` pay the
+        serialization; default engines skip the scope entirely."""
         import contextlib
 
         if self._decode_precise is None:
@@ -273,12 +305,13 @@ class Engine:
 
         @contextlib.contextmanager
         def scope():
-            prev = _pcfg.wide_precise
-            _pcfg.wide_precise = self._decode_precise
-            try:
-                yield
-            finally:
-                _pcfg.wide_precise = prev
+            with _PRECISION_LOCK:
+                prev = _pcfg.wide_precise
+                _pcfg.wide_precise = self._decode_precise
+                try:
+                    yield
+                finally:
+                    _pcfg.wide_precise = prev
 
         return scope()
 
