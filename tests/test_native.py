@@ -19,7 +19,7 @@ def _random_blocks(block_bytes, n_blocks=64, seed=0):
     # sane f16 scale fields
     for blk in range(n_blocks):
         base = blk * block_bytes
-        for off in (0, 2, 208, 80, 82):
+        for off in (0, 2, 208, 80, 82, 108):
             if off + 2 <= block_bytes:
                 b[base + off : base + off + 2] = np.float16(
                     rng.uniform(0.001, 0.1)
@@ -33,13 +33,18 @@ def _random_blocks(block_bytes, n_blocks=64, seed=0):
     [
         ("q8_0", 34, ggml.dequantize_q8_0),
         ("q4_0", 18, ggml.dequantize_q4_0),
+        ("q4_1", 20, ggml.dequantize_q4_1),
+        ("q5_0", 22, ggml.dequantize_q5_0),
+        ("q5_1", 24, ggml.dequantize_q5_1),
         ("q4_k", 144, ggml.dequantize_q4_k),
         ("q5_k", 176, ggml.dequantize_q5_k),
         ("q6_k", 210, ggml.dequantize_q6_k),
+        ("q3_k", 110, ggml.dequantize_q3_k),
+        ("q2_k", 84, ggml.dequantize_q2_k),
     ],
 )
 def test_native_dequant_matches_numpy(kind, block_bytes, numpy_fn):
-    elems = {"q8_0": 32, "q4_0": 32}.get(kind, 256)
+    elems = 32 if block_bytes <= 34 else 256
     data = _random_blocks(block_bytes)
     n = (len(data) // block_bytes) * elems
     got = native.dequantize(kind, data, n)

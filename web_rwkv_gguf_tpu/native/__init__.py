@@ -54,8 +54,10 @@ def get_lib() -> ctypes.CDLL | None:
         return None
     try:
         _lib = _build()
-        for name in ("dequant_q8_0", "dequant_q4_0", "dequant_q4_k",
-                     "dequant_q5_k", "dequant_q6_k"):
+        for name in ("dequant_q8_0", "dequant_q4_0", "dequant_q4_1",
+                     "dequant_q5_0", "dequant_q5_1", "dequant_q4_k",
+                     "dequant_q5_k", "dequant_q6_k", "dequant_q3_k",
+                     "dequant_q2_k"):
             fn = getattr(_lib, name)
             fn.restype = None
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -84,8 +86,12 @@ def get_lib() -> ctypes.CDLL | None:
     return _lib
 
 
-_BLOCK_BYTES = {"q8_0": 34, "q4_0": 18, "q4_k": 144, "q5_k": 176, "q6_k": 210}
-_BLOCK_ELEMS = {"q8_0": 32, "q4_0": 32, "q4_k": 256, "q5_k": 256, "q6_k": 256}
+_BLOCK_BYTES = {"q8_0": 34, "q4_0": 18, "q4_1": 20, "q5_0": 22, "q5_1": 24,
+                "q4_k": 144, "q5_k": 176, "q6_k": 210, "q3_k": 110,
+                "q2_k": 84}
+_BLOCK_ELEMS = {"q8_0": 32, "q4_0": 32, "q4_1": 32, "q5_0": 32, "q5_1": 32,
+                "q4_k": 256, "q5_k": 256, "q6_k": 256, "q3_k": 256,
+                "q2_k": 256}
 
 
 def dequantize(kind: str, data, num_elements: int) -> np.ndarray | None:

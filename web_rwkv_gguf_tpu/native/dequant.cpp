@@ -196,6 +196,127 @@ void dequant_q6_k(const uint8_t* data, int64_t n_blocks, float* out) {
   });
 }
 
+// Q4_1: 20B/32el, v = d*nib + m; ggml split-halves element order
+void dequant_q4_1(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 20;
+      float d = f16at(blk), m = f16at(blk + 2);
+      const uint8_t* qs = blk + 4;
+      float* o = out + b * 32;
+      for (int i = 0; i < 16; i++) {
+        o[i] = d * (float)(qs[i] & 0xF) + m;
+        o[i + 16] = d * (float)(qs[i] >> 4) + m;
+      }
+    }
+  });
+}
+
+static inline uint32_t le32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+// Q5_0: 22B/32el, v = d*(q5-16); qh supplies bit 4 (llama.cpp order)
+void dequant_q5_0(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 22;
+      float d = f16at(blk);
+      uint32_t qh = le32(blk + 2);
+      const uint8_t* qs = blk + 6;
+      float* o = out + b * 32;
+      for (int j = 0; j < 16; j++) {
+        int x0 = (qs[j] & 0xF) | (((qh >> j) & 1) << 4);
+        int x1 = (qs[j] >> 4) | (((qh >> (j + 16)) & 1) << 4);
+        o[j] = d * (float)(x0 - 16);
+        o[j + 16] = d * (float)(x1 - 16);
+      }
+    }
+  });
+}
+
+// Q5_1: 24B/32el, v = d*q5 + m
+void dequant_q5_1(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 24;
+      float d = f16at(blk), m = f16at(blk + 2);
+      uint32_t qh = le32(blk + 4);
+      const uint8_t* qs = blk + 8;
+      float* o = out + b * 32;
+      for (int j = 0; j < 16; j++) {
+        int x0 = (qs[j] & 0xF) | (((qh >> j) & 1) << 4);
+        int x1 = (qs[j] >> 4) | (((qh >> (j + 16)) & 1) << 4);
+        o[j] = d * (float)x0 + m;
+        o[j + 16] = d * (float)x1 + m;
+      }
+    }
+  });
+}
+
+// Q3_K: 110B/256el = [hmask 32][qs 64][scales 12 packed][d f16];
+// 3-bit = 2 low bits + 1 high bit, 16 6-bit scales via the aux-word
+// scheme (matches quant/ggml.py::dequantize_q3_k)
+void dequant_q3_k(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 110;
+      const uint8_t* hmask = blk;
+      const uint8_t* qs = blk + 32;
+      float d = f16at(blk + 108);
+      uint32_t aux[3];
+      memcpy(aux, blk + 96, 12);
+      const uint32_t k1 = 0x03030303u, k2 = 0x0F0F0F0Fu;
+      uint32_t a[4];
+      a[0] = (aux[0] & k2) | (((aux[2] >> 0) & k1) << 4);
+      a[1] = (aux[1] & k2) | (((aux[2] >> 2) & k1) << 4);
+      a[2] = ((aux[0] >> 4) & k2) | (((aux[2] >> 4) & k1) << 4);
+      a[3] = ((aux[1] >> 4) & k2) | (((aux[2] >> 6) & k1) << 4);
+      int8_t sc[16];
+      memcpy(sc, a, 16);
+      float* o = out + b * 256;
+      for (int h = 0; h < 2; h++) {
+        const uint8_t* q = qs + 32 * h;
+        for (int s = 0; s < 4; s++) {
+          for (int l = 0; l < 32; l++) {
+            int lo2 = (q[l] >> (2 * s)) & 3;
+            int hb = (hmask[l] >> (4 * h + s)) & 1;
+            float qv = (float)lo2 + (hb ? 0.0f : -4.0f);
+            float scale = (float)sc[8 * h + 2 * s + l / 16] - 32.0f;
+            *o++ = d * scale * qv;
+          }
+        }
+      }
+    }
+  });
+}
+
+// Q2_K: 84B/256el = [scales 16][qs 64][d f16][dmin f16];
+// v = d*(sc&0xF)*q - dmin*(sc>>4)
+void dequant_q2_k(const uint8_t* data, int64_t n_blocks, float* out) {
+  parallel_blocks(n_blocks, [&](int64_t lo_, int64_t hi_) {
+    for (int64_t b = lo_; b < hi_; b++) {
+      const uint8_t* blk = data + b * 84;
+      const uint8_t* scales = blk;
+      const uint8_t* qs = blk + 16;
+      float d = f16at(blk + 80), dmin = f16at(blk + 82);
+      float* o = out + b * 256;
+      for (int h = 0; h < 2; h++) {
+        const uint8_t* q = qs + 32 * h;
+        for (int s = 0; s < 4; s++) {
+          for (int l = 0; l < 32; l++) {
+            int qv = (q[l] >> (2 * s)) & 3;
+            uint8_t sub = scales[8 * h + 2 * s + l / 16];
+            *o++ = d * (float)(sub & 0xF) * (float)qv -
+                   dmin * (float)(sub >> 4);
+          }
+        }
+      }
+    }
+  });
+}
+
 // Q4_K repack: split-halves nibble codes + effective f32 scales/mins.
 // rows_cols: per-row blocks n_sb = K/256; codes out [M, K/2] u8,
 // scales/mins out [M, K/32] f32 (row-major).

@@ -355,9 +355,14 @@ _DEQUANTIZERS = {
 _NATIVE_KINDS = {
     GgmlDType.Q8_0: "q8_0",
     GgmlDType.Q4_0: "q4_0",
+    GgmlDType.Q4_1: "q4_1",
+    GgmlDType.Q5_0: "q5_0",
+    GgmlDType.Q5_1: "q5_1",
     GgmlDType.Q4_K: "q4_k",
     GgmlDType.Q5_K: "q5_k",
     GgmlDType.Q6_K: "q6_k",
+    GgmlDType.Q3_K: "q3_k",
+    GgmlDType.Q2_K: "q2_k",
 }
 
 
