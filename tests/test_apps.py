@@ -110,16 +110,11 @@ def test_ppl_chunking_invariant(model_file, vocab_file, tmp_path):
     np.testing.assert_allclose(n1, n2, rtol=1e-4)
 
 
-def test_convert_app(tmp_path, capsys):
-    """BlinkDL-style v7 .pth → GGUF → load → forward."""
+def _v7_sd(C, L, HS, V, HID, D, seed=0):
+    """Minimal BlinkDL-style v7 state dict for converter tests."""
     import torch
 
-    from web_rwkv_gguf_tpu.apps import convert
-    from web_rwkv_gguf_tpu.gguf import GgufFile
-    from web_rwkv_gguf_tpu.models import ModelVersion, forward_chunk, init_state, load_model
-
-    rng = np.random.default_rng(0)
-    C, L, HS, V, HID, D = 16, 2, 8, 64, 64, 4
+    rng = np.random.default_rng(seed)
 
     def t(*s, scale=0.3):
         return torch.tensor(rng.normal(size=s).astype(np.float32) * scale)
@@ -167,6 +162,19 @@ def test_convert_app(tmp_path, capsys):
                 p + "att.v1": t(C, D),
                 p + "att.v2": t(D, C),
             })
+    return sd
+
+
+def test_convert_app(tmp_path, capsys):
+    """BlinkDL-style v7 .pth → GGUF → load → forward."""
+    import torch
+
+    from web_rwkv_gguf_tpu.apps import convert
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import ModelVersion, forward_chunk, init_state, load_model
+
+    C, L, HS, V, HID, D = 16, 2, 8, 64, 64, 4
+    sd = _v7_sd(C, L, HS, V, HID, D)
 
     pth = tmp_path / "model.pth"
     torch.save(sd, pth)
@@ -178,6 +186,36 @@ def test_convert_app(tmp_path, capsys):
     info, params = load_model(GgufFile(str(out)))
     assert info.version == ModelVersion.V7
     assert info.num_head == C // HS
+    x, _ = forward_chunk(
+        info, params, init_state(info, 1),
+        jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),
+    )
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_convert_app_legacy_quant_32_block(tmp_path):
+    """--outtype q5_0 on a model whose matrix row lengths are multiples
+    of 32 but NOT 256 must quantize the projections (the K-quant-only
+    256 gate would silently leave everything f16) and load+run through
+    the direct-quantized path."""
+    import torch
+
+    from web_rwkv_gguf_tpu.apps import convert
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, load_model
+
+    C, L, HS, V, HID, D = 32, 2, 8, 64, 96, 4  # 96 % 256 != 0
+    sd = _v7_sd(C, L, HS, V, HID, D, seed=5)
+    pth = tmp_path / "model.pth"
+    torch.save(sd, pth)
+    out = tmp_path / "model.gguf"
+    convert.main([str(pth), "--output", str(out), "--outtype", "q5_0"])
+
+    import jax.numpy as jnp
+
+    info, params = load_model(GgufFile(str(out)))
+    wv = params["blocks"]["ffn"]["Wv"]  # [C, HID]: row length 96
+    assert wv.kind == "qk_b", wv.kind
     x, _ = forward_chunk(
         info, params, init_state(info, 1),
         jnp.asarray([[1, 2, 3]], jnp.int32), jnp.asarray([3], jnp.int32),

@@ -16,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 from ..gguf import GgufWriter
-from ..quant.ggml import GgmlDType
+from ..quant.ggml import GGML_BLOCK_SIZES, GgmlDType
 
 _V7_SHORT_TO_GGUF = {
     "att.key.weight": "time_mix_key.weight",
@@ -152,12 +152,18 @@ def convert(sd: dict[str, np.ndarray], outtype: str = "f16") -> GgufWriter:
     }[outtype]
     cast = np.float32 if outtype == "f32" else np.float16
 
+    # ggml requires a quantized tensor's row length to divide its block
+    # size: 256 for K-quants, 32 for Q8_0 and the legacy formats (so a
+    # [768, 2688] ffn value matrix quantizes at q8_0/q4_0/... where the
+    # 256 gate would leave it f16)
+    qblock = GGML_BLOCK_SIZES[quantize] if quantize else 1
+
     def emit(name, arr, quantizable=False):
         arr = np.asarray(arr, np.float32)
         if arr.ndim >= 2:
             arr = arr.squeeze() if arr.ndim > 2 and 1 in arr.shape else arr
         q = quantize if (quantizable and arr.ndim == 2 and quantize
-                         and arr.shape[-1] % 256 == 0) else None
+                         and arr.shape[-1] % qblock == 0) else None
         if q is None:
             w.add_tensor(name, arr.astype(cast))
         else:
