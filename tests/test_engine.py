@@ -507,3 +507,117 @@ def test_auto_prefill_dense_policy():
     assert not auto_prefill_dense(1 * GB, None, "cpu")
     # nothing quantized to densify
     assert not auto_prefill_dense(0, {"bytes_limit": 16 * GB}, "tpu")
+
+
+def test_auto_decode_precise_policy():
+    """High-batch engines default to the plain-bf16 rounding class (the
+    reference's own f16-dequant accuracy class) — measured 16.5k vs
+    13.7k tok/s at B=16 (scripts/bench_b16_dense_ab.py); smaller batches
+    keep the FMA-exact process default. Dense-weight auto-promotion was
+    measured a dead end (13.3k) and is explicit-opt-in only."""
+    from web_rwkv_gguf_tpu.runtime.engine import (
+        DECODE_FAST_MIN_B, auto_decode_precise,
+    )
+
+    assert auto_decode_precise(1, True) is True
+    assert auto_decode_precise(DECODE_FAST_MIN_B - 1, True) is True
+    assert auto_decode_precise(DECODE_FAST_MIN_B, True) is False
+    assert auto_decode_precise(32, True) is False
+    # explicit process default propagates below the threshold
+    assert auto_decode_precise(1, False) is False
+
+
+def test_engine_high_batch_precision_default(model):
+    """Engine(num_batch>=16) resolves decode_precise=None to the fast
+    class; decode_precise=True restores FMA-exact."""
+    from web_rwkv_gguf_tpu.runtime.engine import DECODE_FAST_MIN_B
+
+    info, params = model
+    eng_hi = Engine(info, params, num_batch=DECODE_FAST_MIN_B)
+    eng_lo = Engine(info, params, num_batch=1)
+    eng_hi_exact = Engine(info, params, num_batch=DECODE_FAST_MIN_B,
+                          decode_precise=True)
+    assert eng_hi._decode_precise is False
+    assert eng_lo._decode_precise is True
+    assert eng_hi_exact._decode_precise is True
+
+
+def test_engine_decode_dense_promotion(model):
+    """Engine(decode_dense=True) serves dense bf16 residents (quantized
+    arrays kept as the cold copy) and matches the quantized engine's
+    decode within dequant rounding."""
+    from web_rwkv_gguf_tpu.models import load_model as _lm
+    from web_rwkv_gguf_tpu.models.matrix import Matrix
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+
+    reader = GgufFile(fixtures.make_v7_gguf(
+        n_layer=2, n_emb=32, head_size=8, quantize=GgmlDType.Q8_0,
+    ))
+    info, params = _lm(reader)
+    eng_q = Engine(info, params, num_batch=1, decode_dense=False)
+    eng_d = Engine(info, params, num_batch=1, decode_dense=True)
+    assert eng_d.params_quantized is params
+
+    def kinds(tree):
+        out = set()
+
+        def walk(t):
+            if isinstance(t, Matrix):
+                out.add(t.kind)
+            elif isinstance(t, dict):
+                for v in t.values():
+                    walk(v)
+            elif isinstance(t, list):
+                for v in t:
+                    walk(v)
+
+        walk(tree)
+        return out
+
+    assert kinds(eng_d.params.get("blocks")) == {"dense"}
+    assert "dense" not in kinds(params["blocks"])
+
+    prompt = [1, 2, 3, 4]
+    toks_q = eng_q.generate([prompt], 8)
+    toks_d = eng_d.generate([prompt], 8)
+    # greedy tokens agree (dense vs quantized-exact paths may round
+    # differently only at logit-tie granularity on this tiny model)
+    assert toks_q == toks_d
+
+
+def test_engine_pool_routing_and_parity(model):
+    """EnginePool splits lanes into near-equal groups capped at
+    lanes_per_engine, shares prepped params across engines, and its
+    generate() matches a single engine lane-for-lane (greedy)."""
+    from web_rwkv_gguf_tpu.runtime import EnginePool
+
+    info, params = model
+    pool = EnginePool(info, params, 5, lanes_per_engine=3,
+                      decode_dense=False)
+    assert pool.group_sizes == [3, 2]
+    assert pool.num_lanes == 5
+    # engines share the same device weight buffers (prepped once)
+    p0 = pool.engines[0].params
+    for eng in pool.engines[1:]:
+        assert eng.params is p0
+
+    prompts = [[1 + i, 2, 3] for i in range(5)]
+    got = pool.generate(prompts, 6, segment=3)
+    ref_eng = Engine(info, params, num_batch=1, decode_dense=False)
+    for i, p in enumerate(prompts):
+        want = ref_eng.generate([p], 6, segment=3)[0]
+        assert got[i] == want, f"lane {i}"
+        ref_eng.reset_state()
+
+
+def test_engine_pool_default_cap():
+    """Default lanes_per_engine is the fused kernel's batch cap."""
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import MAX_SCAN_BATCH
+    from web_rwkv_gguf_tpu.runtime import EnginePool
+
+    reader = GgufFile(fixtures.make_v7_gguf(n_layer=2, n_emb=32, head_size=8))
+    info, params = load_model(reader)
+    pool = EnginePool(info, params, MAX_SCAN_BATCH + 1, decode_dense=False)
+    assert len(pool.engines) == 2
+    assert max(pool.group_sizes) <= MAX_SCAN_BATCH
+    assert sum(pool.group_sizes) == MAX_SCAN_BATCH + 1

@@ -618,6 +618,96 @@ def test_layer_scan7_matches_forward(quant, B, C):
                 )
 
 
+@pytest.mark.parametrize("version,quant,B", [
+    (6, "q4k", 1), (6, "q4k", 5),   # both in-kernel gemv strategies
+    (6, "q8_0", 1),                  # signed-byte code kind
+    (6, "q4k", 16),                  # MAX_SCAN_BATCH full wide path
+    (5, "q4k", 1), (5, "q4k", 5),    # V5: static mixes/decay variant
+])
+def test_layer_scan56_matches_forward(version, quant, B):
+    """Whole-stack V5/V6 decode kernel vs the composed forward_chunk
+    path over several carried decode steps (same tolerance rationale as
+    the V7 scan test: different contraction order, not bit-equality)."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer56 import layer_scan56, prep_decode56
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    info, params = synthetic_v56_params(
+        version=version, n_layer=3, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant=quant,
+    )
+    mega = prep_decode56(params, info)
+    assert mega is not None
+    assert mega.static["version"] == version
+
+    s_ref = init_state(info, B)
+    s_pl = init_state(info, B)
+    lens = jnp.ones((B,), jnp.int32)
+    mask = jnp.ones((B,), jnp.float32)
+    for t in (3, 7, 11):
+        tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 5 + t) % 64
+        x_ref, s_ref = forward_chunk(info, params, s_ref, tok, lens)
+        x = embed_tokens(params, tok)
+        xo, s_pl = layer_scan56(
+            mega, s_pl, x[:, 0], mask, None, LN_EPS, GN_EPS,
+        )
+        np.testing.assert_allclose(
+            np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=8e-3
+        )
+        for k in s_ref:
+            np.testing.assert_allclose(
+                np.asarray(s_pl[k]), np.asarray(s_ref[k]), rtol=3e-3,
+                atol=8e-3, err_msg=k,
+            )
+
+
+def test_layer_scan56_mask_preserves_state():
+    """mask=0 must leave the V6 recurrent state unchanged."""
+    from web_rwkv_gguf_tpu.models import init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer56 import layer_scan56, prep_decode56
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    info, params = synthetic_v56_params(
+        version=6, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
+    )
+    mega = prep_decode56(params, info)
+    state = init_state(info, 1)
+    x = embed_tokens(params, jnp.asarray([[5]], jnp.int32))
+    _, s_new = layer_scan56(
+        mega, state, x[:, 0], jnp.asarray([0.0], jnp.float32), None,
+        LN_EPS, GN_EPS,
+    )
+    for k in state:
+        np.testing.assert_allclose(
+            np.asarray(s_new[k]), np.asarray(state[k]), atol=1e-6, err_msg=k
+        )
+
+
+def test_prepare_decode_routes_v6():
+    """prepare_decode attaches mega56 for uniformly-quantized V6 stacks
+    and forward_chunk consumes it at T=1 (routing pinned end-to-end)."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state, prepare_decode
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    info, params = synthetic_v56_params(
+        version=6, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
+    )
+    pd = prepare_decode(params, info, batch_hint=1)
+    assert "mega56" in pd
+    # composed-path reference vs the routed fused path
+    tok = jnp.asarray([[7]], jnp.int32)
+    lens = jnp.ones((1,), jnp.int32)
+    x_ref, s_ref = forward_chunk(info, params, init_state(info, 1), tok, lens)
+    x_f, s_f = forward_chunk(info, pd, init_state(info, 1), tok, lens)
+    np.testing.assert_allclose(
+        np.asarray(x_f), np.asarray(x_ref), rtol=3e-3, atol=8e-3
+    )
+
+
 def test_layer_scan7_mask_preserves_state():
     """mask=0 must leave the recurrent state unchanged (padding lanes)."""
     from web_rwkv_gguf_tpu.models import init_state

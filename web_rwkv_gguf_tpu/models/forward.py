@@ -826,6 +826,43 @@ def forward_chunk(
             )
             return xo[:, None], new_state
 
+    # V5/V6 whole-stack decode kernel (ops/pallas/layer56.py) — same
+    # routing rules as the V7 branch above
+    if (
+        version in (ModelVersion.V5, ModelVersion.V6)
+        and hooks is None
+        and T == 1
+        and "mega56" in params
+        and not isinstance(blocks, list)
+        and not isinstance(state, list)
+        and _use_pallas()
+    ):
+        from ..ops.pallas.layer56 import layer_scan56, scan_batch_slice
+
+        B0 = x.shape[0]
+        bs = scan_batch_slice(B0)
+        if bs is not None:
+            args = (rescale if do_rescale else None, LN_EPS, GN_EPS)
+            if bs == B0:
+                xo, new_state = layer_scan56(
+                    params["mega56"], state, x[:, 0], mask[:, 0], *args
+                )
+                return xo[:, None], new_state
+            xs, sts = [], []
+            for i in range(B0 // bs):
+                sl = slice(i * bs, (i + 1) * bs)
+                st_i = jax.tree.map(lambda a: a[:, sl], state)
+                xo_i, st_o = layer_scan56(
+                    params["mega56"], st_i, x[sl, 0], mask[sl, 0], *args
+                )
+                xs.append(xo_i)
+                sts.append(st_o)
+            xo = jnp.concatenate(xs, axis=0)
+            new_state = jax.tree.map(
+                lambda *a: jnp.concatenate(a, axis=1), *sts
+            )
+            return xo[:, None], new_state
+
     # per-layer (list) blocks — e.g. mixed per-layer quant formats —
     # cannot lax.scan; run them through the unrolled path (same for
     # per-layer list STATE, which only the unrolled path understands)

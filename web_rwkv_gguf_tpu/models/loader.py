@@ -389,6 +389,7 @@ def densify_matrices(params: dict, dtype=jnp.bfloat16) -> dict:
     out["head"] = densify(params["head"])
     out["blocks"] = walk(params["blocks"])
     out.pop("mega7", None)  # decode-only blocks: not needed for prefill
+    out.pop("mega56", None)
     return out
 
 
@@ -411,6 +412,8 @@ def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
 
     from ..ops.pallas.layer7 import scan_batch_slice
 
+    if "mega7" in params or "mega56" in params:
+        return params  # already prepped (idempotent: pooled engines share)
     if (
         info.version == ModelVersion.V7
         and scan_batch_slice(batch_hint) is not None
@@ -423,6 +426,19 @@ def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
         if mega is not None:
             out = dict(params)
             out["mega7"] = mega
+            return out
+    if (
+        info.version in (ModelVersion.V5, ModelVersion.V6)
+        and scan_batch_slice(batch_hint) is not None
+        and _pcfg.use_pallas()
+        and not isinstance(params.get("blocks"), list)
+    ):
+        from ..ops.pallas.layer56 import prep_decode56
+
+        mega = prep_decode56(params, info)
+        if mega is not None:
+            out = dict(params)
+            out["mega56"] = mega
             return out
     return unroll_params(params)
 

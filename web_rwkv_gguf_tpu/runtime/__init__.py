@@ -17,6 +17,6 @@ from .scheduler import (  # noqa: F401
     plan_chunk,
     redirect,
 )
-from .engine import Engine, softmax  # noqa: F401
+from .engine import Engine, EnginePool, softmax  # noqa: F401
 from .vision import VisionInput, infer_vision  # noqa: F401
 from .distributed import DistributedEngine  # noqa: F401

@@ -39,14 +39,40 @@ def auto_prefill_dense(
 
     The limit comes from ``memory_stats()['bytes_limit']`` when the
     backend reports it. TPUs that don't (this environment's tunnel
-    returns ``{}``) fall back to the 16 GiB v5e floor — every serving
-    TPU has at least that. On NON-TPU backends an unknown limit stays
-    conservative (no dense cache): a guessed-large limit could OOM a
-    small device at Engine construction with no opt-in."""
+    returns ``{}``) fall back to an 8 GiB floor — the smallest HBM of
+    any TPU core generation (v2: 8 GiB/core), so the policy cannot
+    overcommit an older part that hides its stats. On NON-TPU backends
+    an unknown limit stays conservative (no dense cache): a
+    guessed-large limit could OOM a small device at Engine construction
+    with no opt-in."""
     limit = int((memory_stats or {}).get("bytes_limit", 0))
     if not limit and platform == "tpu":
-        limit = 16 << 30
+        limit = 8 << 30
     return limit > 0 and extra_bytes > 0 and 2.3 * extra_bytes < 0.6 * limit
+
+
+# smallest decode batch at which the default accuracy class flips to
+# plain-bf16 dequant rounding. Measured B=16 A/B on the 0.1B Q4_K config
+# (scripts/bench_b16_dense_ab.py, 2026-08-21 in-session): quantized
+# FMA-precise 13.7k, quantized plain-bf16 16.5k, DENSE bf16 weights
+# 13.3k tok/s — so at high batch the win is the ROUNDING CLASS (~2^-9,
+# the reference's own f16-dequant class), NOT dense residents (dense
+# decode stays weight-DMA-bound and loses even at B=16; a measured dead
+# end, recorded in CLAUDE.md).
+DECODE_FAST_MIN_B = 16
+
+
+def auto_decode_precise(num_batch: int, default: bool = True) -> bool:
+    """Default policy for ``Engine(decode_precise=None)``: batches at or
+    above ``DECODE_FAST_MIN_B`` serve the plain-bf16 dequant rounding
+    class (~2^-9 — the accuracy class of the reference engine's
+    f16-dequant shaders), which is ~1.2x faster at B=16 where serving
+    throughput matters most; smaller batches keep the process default
+    (FMA-exact double-bf16, ~2^-16). ``Engine(decode_precise=True)``
+    restores the exact class at any batch."""
+    if num_batch >= DECODE_FAST_MIN_B:
+        return False
+    return default
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -108,6 +134,7 @@ class Engine:
         seq_parallel_min_t: int = 64,
         pipeline_microbatches: int | None = None,
         decode_precise: bool | None = None,
+        decode_dense: bool | None = None,
     ):
         if tp_mode not in ("gspmd", "shard_map"):
             raise EngineError(f"unknown tp_mode {tp_mode!r}")
@@ -123,14 +150,44 @@ class Engine:
         # the XLA-fallback / reference-f16 class) for maximum wide-batch
         # throughput. Narrow batches (B <= 2) are exact either way.
         # PER-ENGINE: the flag is applied as a scoped trace-time value
-        # around this engine's compiled entry points (_precision_scope),
-        # so engines with different settings coexist in one process —
-        # each engine's jit objects trace under its own value and the
-        # module global is never left mutated.
+        # around this engine's jit INVOCATIONS (_precision_scope), so
+        # engines with different settings coexist in one process — each
+        # engine's jit objects trace under its own value and the module
+        # global is never left mutated. Default engines SNAPSHOT the
+        # process default at construction, so a concurrent scoped
+        # engine's temporarily-set value can never leak into their
+        # retraces (round-5 fix; the scope lock covers only dispatch,
+        # not host fetches, so pooled engines don't serialize on it).
+        from ..ops.pallas import config as _pcfg
+
         self._decode_precise = (
-            None if decode_precise is None else bool(decode_precise)
+            auto_decode_precise(num_batch, _pcfg.wide_precise)
+            if decode_precise is None
+            else bool(decode_precise)
         )
         self.info = info
+        # device memory info for the dense-resident auto policy
+        try:
+            dev = jax.devices()[0]
+            _mem_stats = dev.memory_stats()
+            _platform = dev.platform
+        except Exception:  # backends without memory_stats
+            _mem_stats, _platform = None, ""
+
+        # decode-side dense weights: EXPLICIT opt-in only. The round-4
+        # hypothesis that high-batch decode should auto-promote to dense
+        # residents measured FALSE (see DECODE_FAST_MIN_B note: dense
+        # 13.3k vs quantized 13.7k at B=16) — the auto high-batch lever
+        # is the rounding class above instead. The knob remains for
+        # configurations where dense is known to win; the quantized
+        # arrays stay resident as the cold copy (params_quantized).
+        self.params_quantized = None
+        if decode_dense and mesh is None:
+            from ..models.loader import densify_matrices
+
+            self.params_quantized = params
+            params = densify_matrices(params)
+            prefill_dense = False  # already dense — no separate cache
         # per-layer (unrolled) weight buffers avoid the lax.scan
         # dynamic-slice copy of every layer's weights per decode step
         # (models/loader.py::unroll_params); default on for single-device
@@ -160,14 +217,8 @@ class Engine:
             # stays under ~60% of device memory.
             from ..models.loader import dense_cache_bytes
 
-            try:
-                dev = jax.devices()[0]
-                stats = dev.memory_stats()
-                platform = dev.platform
-            except Exception:  # backends without memory_stats
-                stats, platform = None, ""
             prefill_dense = auto_prefill_dense(
-                dense_cache_bytes(params), stats, platform
+                dense_cache_bytes(params), _mem_stats, _platform
             )
         if prefill_dense and mesh is None:
             from ..models.loader import densify_matrices
@@ -286,20 +337,18 @@ class Engine:
 
     def _precision_scope(self):
         """Scoped trace-time application of this engine's decode
-        precision: jit retraces happen inside engine entry points, so
+        precision: jit retraces happen inside jit invocations, so
         setting the config only for their duration gives per-engine
         semantics (each engine's jit objects cache programs traced under
         its own value; cached executions don't read the flag at all).
         A process-wide lock serializes these scopes — without it, two
-        engines with different settings inferring from different
-        THREADS could interleave: one engine's retrace would read the
-        other's value and permanently cache the wrong accuracy class.
-        Only engines that explicitly set ``decode_precise`` pay the
-        serialization; default engines skip the scope entirely."""
+        engines inferring from different THREADS could interleave: one
+        engine's retrace would read the other's value and permanently
+        cache the wrong accuracy class. EVERY engine scopes (default
+        engines snapshot the process default at construction), and the
+        scope wraps only jit dispatch — never host fetches — so pooled
+        engines contend only for microseconds."""
         import contextlib
-
-        if self._decode_precise is None:
-            return contextlib.nullcontext()
 
         from ..ops.pallas import config as _pcfg
 
@@ -314,6 +363,12 @@ class Engine:
                     _pcfg.wide_precise = prev
 
         return scope()
+
+    def _scoped(self, fn, *args, **kwargs):
+        """Invoke a jitted entry point under this engine's precision
+        scope (see :meth:`_precision_scope`)."""
+        with self._precision_scope():
+            return fn(*args, **kwargs)
 
     # -- state management (ref: State trait, src/runtime/model.rs:78-103) --
 
@@ -348,8 +403,7 @@ class Engine:
         repeatedly until every batch is drained / generation is driven by
         pushing sampled tokens back into the input lanes.
         """
-        with self._precision_scope():
-            return self._infer_impl(input)
+        return self._infer_impl(input)
 
     def _infer_impl(self, input: RnnInput) -> RnnOutput:
         if len(input.batches) != self.num_batch:
@@ -392,8 +446,9 @@ class Engine:
             tokens = np.zeros((self.num_batch, T), np.int32)
             for b, (batch, p) in enumerate(zip(input.batches, plan)):
                 tokens[b, : p.len] = batch.tokens[: p.len]
-            logits, self.state = self._forward_last(
-                fw_params, self.state, jnp.asarray(tokens), lengths
+            logits, self.state = self._scoped(
+                self._forward_last,
+                fw_params, self.state, jnp.asarray(tokens), lengths,
             )
             input.step(plan)
             active = [
@@ -433,16 +488,17 @@ class Engine:
                         embeds[b, t] = self._emb_np[int(tok)]
                     else:
                         embeds[b, t] = np.asarray(tok, np.float32)
-            x, self.state = self._forward_embeds(
-                fw_params, self.state, jnp.asarray(embeds), lengths
+            x, self.state = self._scoped(
+                self._forward_embeds,
+                fw_params, self.state, jnp.asarray(embeds), lengths,
             )
         else:
             tokens = np.zeros((self.num_batch, T), np.int32)
             for b, (batch, p) in enumerate(zip(input.batches, plan)):
                 tokens[b, : p.len] = batch.tokens[: p.len]
             if sp_ok:
-                x, self.state = self._spf(
-                    fw_params, self.state, jnp.asarray(tokens)
+                x, self.state = self._scoped(
+                    self._spf, fw_params, self.state, jnp.asarray(tokens)
                 )
             elif self._ppf is not None:
                 M = self._pp_m
@@ -451,8 +507,8 @@ class Engine:
                     lambda a: a.reshape(a.shape[0], M, Bm, *a.shape[2:]),
                     self.state,
                 )
-                x_p, st_p = self._ppf(
-                    fw_params, st_p,
+                x_p, st_p = self._scoped(
+                    self._ppf, fw_params, st_p,
                     jnp.asarray(tokens).reshape(M, Bm, T),
                     lengths.reshape(M, Bm),
                 )
@@ -462,8 +518,9 @@ class Engine:
                 )
                 x = x_p.reshape(M * Bm, T, x_p.shape[-1])
             else:
-                x, self.state = self._forward(
-                    fw_params, self.state, jnp.asarray(tokens), lengths
+                x, self.state = self._scoped(
+                    self._forward, fw_params, self.state,
+                    jnp.asarray(tokens), lengths,
                 )
 
         # gather logit-producing rows (dense-layout redirect)
@@ -492,7 +549,7 @@ class Engine:
         bi[:n] = rows_b
         ti[:n] = rows_t
         rows = x[jnp.asarray(bi), jnp.asarray(ti)]
-        logits = np.asarray(self._head(self.params, rows))[:n]
+        logits = np.asarray(self._scoped(self._head, self.params, rows))[:n]
 
         out, off = [], 0
         for c in counts:
@@ -501,6 +558,33 @@ class Engine:
         return RnnOutput(out)
 
     # -- fused generation --------------------------------------------------
+
+    def _gen_prefill(self, prompts, temperature, top_k, top_p, seed):
+        """Prefill the prompts and sample the first generated token with
+        the SAME on-device sampler as the fused segment loop (greedy /
+        temperature / top-k / nucleus, jax PRNG). Returns
+        ``(first [B, 1] int32 numpy, key)``."""
+        from ..models.generate import make_sampler
+
+        if len(prompts) != self.num_batch:
+            raise TensorError.batch(len(prompts), self.num_batch)
+        inp = RnnInput(
+            [RnnInputBatch(list(p)) for p in prompts], self.token_chunk_size
+        )
+        last_logits = [None] * self.num_batch
+        while inp.num_token:
+            out = self.infer(inp)
+            for b in range(self.num_batch):
+                if len(out[b]):
+                    last_logits[b] = out[b][-1]
+
+        key = jax.random.key(seed)
+        key, sub = jax.random.split(key)
+        sample = jax.jit(make_sampler(temperature, top_k, top_p))
+        first = np.asarray(
+            sample(jnp.asarray(np.stack(last_logits)), sub), np.int32
+        )[:, None]
+        return first, key
 
     def generate(
         self,
@@ -525,32 +609,9 @@ class Engine:
         state stops advancing, via the padding mask) and the loop exits
         as soon as every lane has stopped; surplus tokens are trimmed.
         """
-        import jax
+        from ..models.generate import make_generator
 
-        from ..models.generate import make_generator, make_sampler
-
-        if len(prompts) != self.num_batch:
-            raise TensorError.batch(len(prompts), self.num_batch)
-        inp = RnnInput(
-            [RnnInputBatch(list(p)) for p in prompts], self.token_chunk_size
-        )
-        last_logits = [None] * self.num_batch
-        while inp.num_token:
-            out = self.infer(inp)
-            for b in range(self.num_batch):
-                if len(out[b]):
-                    last_logits[b] = out[b][-1]
-
-        # first token through the SAME on-device sampler as the segment
-        # loop (greedy / temperature / top-k / nucleus, jax PRNG) — the
-        # prompt's last logits came from infer(), only the sampling step
-        # runs here
-        key = jax.random.key(seed)
-        key, sub = jax.random.split(key)
-        sample = jax.jit(make_sampler(temperature, top_k, top_p))
-        first = np.asarray(
-            sample(jnp.asarray(np.stack(last_logits)), sub), np.int32
-        )[:, None]
+        first, key = self._gen_prefill(prompts, temperature, top_k, top_p, seed)
 
         stop_tokens = stop_tokens or set()
         gen = make_generator(
@@ -560,18 +621,17 @@ class Engine:
         token = jnp.asarray(first)
         results = [[int(t)] for t in first[:, 0]]
         produced = 1
-        with self._precision_scope():
-            while produced < max_tokens:
-                toks, logits, self.state, key, done = gen(
-                    self.params, self.state, token, key
-                )
-                toks_np = np.asarray(toks)
-                for b in range(self.num_batch):
-                    results[b].extend(int(t) for t in toks_np[b])
-                produced += segment
-                token = toks[:, -1:]
-                if stop_tokens and bool(np.asarray(done).all()):
-                    break  # every lane froze on its stop token
+        while produced < max_tokens:
+            toks, logits, self.state, key, done = self._scoped(
+                gen, self.params, self.state, token, key
+            )
+            toks_np = np.asarray(toks)
+            for b in range(self.num_batch):
+                results[b].extend(int(t) for t in toks_np[b])
+            produced += segment
+            token = toks[:, -1:]
+            if stop_tokens and bool(np.asarray(done).all()):
+                break  # every lane froze on its stop token
         trimmed = []
         for seq in results:
             seq = seq[:max_tokens]
@@ -581,3 +641,134 @@ class Engine:
                     break
             trimmed.append(seq)
         return trimmed
+
+
+def _trim_stop(seqs: list[list[int]], max_tokens: int, stop_tokens: set[int]):
+    trimmed = []
+    for seq in seqs:
+        seq = seq[:max_tokens]
+        for i, t in enumerate(seq):
+            if t in stop_tokens:
+                seq = seq[: i + 1]
+                break
+        trimmed.append(seq)
+    return trimmed
+
+
+class EnginePool:
+    """Serve more lanes than the fused decode kernel's batch cap as a
+    pool of independent engines.
+
+    Measured recipe (round 4, scripts/bench_b32_split.py): two
+    independent B=16 engines out-serve one B=32 engine (13.7k vs
+    10.6–12.5k tok/s aggregate) — the layer-scan kernel caps at
+    ``MAX_SCAN_BATCH`` lanes, and above it the composed per-op path is
+    slower per lane than running the kernel twice. The pool splits
+    ``num_lanes`` into near-equal per-engine groups (each at most
+    ``lanes_per_engine``, default the kernel cap) and INTERLEAVES fused
+    segments across engines: every engine's segment is dispatched before
+    any result is fetched, so one engine's host-side sampling
+    bookkeeping overlaps the others' device compute (JAX dispatch is
+    async). All engines share one set of device weight buffers — decode
+    prep runs once here and ``prepare_decode`` is idempotent.
+    """
+
+    def __init__(self, info: ModelInfo, params, num_lanes: int, *,
+                 lanes_per_engine: int | None = None, **engine_kwargs):
+        from ..models.loader import prepare_decode
+        from ..ops.pallas.layer7 import MAX_SCAN_BATCH
+
+        if lanes_per_engine is None:
+            lanes_per_engine = MAX_SCAN_BATCH
+        if num_lanes <= 0:
+            raise EngineError("num_lanes must be positive")
+        n_eng = -(-num_lanes // lanes_per_engine)
+        base, rem = divmod(num_lanes, n_eng)
+        self.group_sizes = [base + (1 if i < rem else 0) for i in range(n_eng)]
+        self.info = info
+        self.params_quantized = None
+        # resolve dense opt-in and decode prep ONCE at pool level so
+        # every engine shares the same device weight buffers (engines
+        # would otherwise each densify/unroll their own copies)
+        if engine_kwargs.get("mesh") is None and not isinstance(
+            params.get("blocks"), list
+        ):
+            if engine_kwargs.pop("decode_dense", None):
+                from ..models.loader import densify_matrices
+
+                self.params_quantized = params
+                params = densify_matrices(params)
+            engine_kwargs["decode_dense"] = False
+            params = prepare_decode(params, info,
+                                    batch_hint=self.group_sizes[0])
+        self.engines = [
+            Engine(info, params, g, **engine_kwargs) for g in self.group_sizes
+        ]
+
+    @property
+    def num_lanes(self) -> int:
+        return sum(self.group_sizes)
+
+    def generate(
+        self,
+        prompts: list[list[int]],
+        max_tokens: int,
+        *,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
+        stop_tokens: set[int] | None = None,
+        seed: int = 0,
+        segment: int = 32,
+    ) -> list[list[int]]:
+        """Pool equivalent of :meth:`Engine.generate`: lane ``i`` maps to
+        the same prompt index, numerics per lane match a standalone
+        engine of that group's size."""
+        from ..models.generate import make_generator
+
+        if len(prompts) != self.num_lanes:
+            raise TensorError.batch(len(prompts), self.num_lanes)
+        bounds = np.cumsum([0] + self.group_sizes)
+        groups = [
+            prompts[bounds[i] : bounds[i + 1]] for i in range(len(self.engines))
+        ]
+        stop_tokens = stop_tokens or set()
+        gen = make_generator(
+            self.info, steps=segment, temperature=temperature, top_k=top_k,
+            top_p=top_p, stop_ids=tuple(sorted(stop_tokens)),
+        )
+
+        tokens, keys, results = [], [], []
+        for i, (eng, grp) in enumerate(zip(self.engines, groups)):
+            first, key = eng._gen_prefill(
+                grp, temperature, top_k, top_p, seed + i
+            )
+            tokens.append(jnp.asarray(first))
+            keys.append(key)
+            results.append([[int(t)] for t in first[:, 0]])
+
+        produced = 1
+        while produced < max_tokens:
+            outs = []
+            # dispatch EVERY engine's segment before fetching any result
+            for i, eng in enumerate(self.engines):
+                outs.append(eng._scoped(
+                    gen, eng.params, eng.state, tokens[i], keys[i]
+                ))
+            all_done = bool(stop_tokens)
+            for i, (eng, (toks, _logits, state, key, done)) in enumerate(
+                zip(self.engines, outs)
+            ):
+                eng.state = state
+                keys[i] = key
+                toks_np = np.asarray(toks)
+                for b in range(len(results[i])):
+                    results[i][b].extend(int(t) for t in toks_np[b])
+                tokens[i] = toks[:, -1:]
+                if stop_tokens and not bool(np.asarray(done).all()):
+                    all_done = False
+            produced += segment
+            if all_done:
+                break
+        flat = [seq for grp in results for seq in grp]
+        return _trim_stop(flat, max_tokens, stop_tokens)

@@ -171,7 +171,8 @@ def make_v5_gguf(*, n_layer=2, n_emb=16, head_size=4, n_vocab=32, n_hidden=None,
 
 
 def make_v6_gguf(
-    *, n_layer=2, n_emb=16, head_size=4, n_vocab=32, n_hidden=None, rank_tm=4, rank_td=8, seed=0
+    *, n_layer=2, n_emb=16, head_size=4, n_vocab=32, n_hidden=None, rank_tm=4,
+    rank_td=8, seed=0, quantize=None,
 ):
     n_hidden = n_hidden or 4 * n_emb
     n_head = n_emb // head_size
@@ -182,12 +183,15 @@ def make_v6_gguf(
     def r(*shape, scale=0.5):
         return (rng.normal(size=shape) * scale).astype(np.float32)
 
+    def addq(name, arr):
+        w.add_tensor(name, arr, quantize=quantize)
+
     w.add_tensor("token_embd.weight", r(n_vocab, n_emb))
     w.add_tensor("token_embd_norm.weight", 1.0 + r(n_emb, scale=0.1))
     w.add_tensor("token_embd_norm.bias", r(n_emb, scale=0.1))
     w.add_tensor("output_norm.weight", 1.0 + r(n_emb, scale=0.1))
     w.add_tensor("output_norm.bias", r(n_emb, scale=0.1))
-    w.add_tensor("output.weight", r(n_vocab, n_emb))
+    addq("output.weight", r(n_vocab, n_emb))
     for i in range(n_layer):
         p = f"blk.{i}"
         w.add_tensor(f"{p}.attn_norm.weight", 1.0 + r(n_emb, scale=0.1))
@@ -203,41 +207,27 @@ def make_v6_gguf(
         w.add_tensor(f"{p}.attn_time_mix_w2", r(5, n_emb, rank_tm, scale=0.1))
         w.add_tensor(f"{p}.attn_time_decay_w1", r(rank_td, n_emb, scale=0.1))
         w.add_tensor(f"{p}.attn_time_decay_w2", r(n_emb, rank_td, scale=0.1))
-        w.add_tensor(f"{p}.attn_k.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_v.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_r.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_g.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_output.weight", r(n_emb, n_emb))
+        addq(f"{p}.attn_k.weight", r(n_emb, n_emb))
+        addq(f"{p}.attn_v.weight", r(n_emb, n_emb))
+        addq(f"{p}.attn_r.weight", r(n_emb, n_emb))
+        addq(f"{p}.attn_g.weight", r(n_emb, n_emb))
+        addq(f"{p}.attn_output.weight", r(n_emb, n_emb))
         w.add_tensor(f"{p}.attn_ln_x.weight", 1.0 + r(n_emb, scale=0.1))
         w.add_tensor(f"{p}.attn_ln_x.bias", r(n_emb, scale=0.1))
         w.add_tensor(f"{p}.ffn_time_mix_k", rng.uniform(0, 1, n_emb).astype(np.float32))
         w.add_tensor(f"{p}.ffn_time_mix_r", rng.uniform(0, 1, n_emb).astype(np.float32))
-        w.add_tensor(f"{p}.ffn_k.weight", r(n_hidden, n_emb))
-        w.add_tensor(f"{p}.ffn_v.weight", r(n_emb, n_hidden))
-        w.add_tensor(f"{p}.ffn_r.weight", r(n_emb, n_emb))
+        addq(f"{p}.ffn_k.weight", r(n_hidden, n_emb))
+        addq(f"{p}.ffn_v.weight", r(n_emb, n_hidden))
+        addq(f"{p}.ffn_r.weight", r(n_emb, n_emb))
     return w.tobytes()
 
 
-def synthetic_v7_params(
-    *, n_layer=12, n_emb=768, head_size=64, n_vocab=65536, n_hidden=None,
-    lora_w=64, lora_a=64, lora_g=128, lora_v=32, seed=0, dtype=None,
-    quant=None,
-):
-    """Build RWKV-7 params directly as a JAX pytree (no GGUF round-trip) —
-    for benchmarks and large-scale dry runs. Matches the layout produced
-    by ``models.loader.load_model``."""
+def _quant_mat_builder(rng, quant, dtype):
+    """Shared synthetic-params matrix factory: ``mat(*shape)`` returns a
+    (possibly GGUF-block-quantized) ``Matrix`` matching what
+    ``models.loader.load_model`` produces for a direct-quantized load."""
     import jax.numpy as jnp
-    from ..models.info import CustomInfo, ModelInfo, ModelVersion
     from ..models.matrix import Matrix
-
-    dtype = dtype or jnp.bfloat16
-    n_hidden = n_hidden or int((n_emb * 3.5) // 32 * 32)
-    H = n_emb // head_size
-    rng = np.random.default_rng(seed)
-    L, C = n_layer, n_emb
-
-    def r(*shape, scale=0.5):
-        return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32))
 
     def mat(*shape, scale=0.05, fmt=None):
         w = (rng.normal(size=shape) * scale).astype(np.float32)
@@ -277,6 +267,31 @@ def synthetic_v7_params(
             }
             return Matrix(per[0].kind, per[0].shape, arrays)
         return Matrix.dense(jnp.asarray(w, dtype))
+
+    return mat
+
+
+def synthetic_v7_params(
+    *, n_layer=12, n_emb=768, head_size=64, n_vocab=65536, n_hidden=None,
+    lora_w=64, lora_a=64, lora_g=128, lora_v=32, seed=0, dtype=None,
+    quant=None,
+):
+    """Build RWKV-7 params directly as a JAX pytree (no GGUF round-trip) —
+    for benchmarks and large-scale dry runs. Matches the layout produced
+    by ``models.loader.load_model``."""
+    import jax.numpy as jnp
+    from ..models.info import CustomInfo, ModelInfo, ModelVersion
+
+    dtype = dtype or jnp.bfloat16
+    n_hidden = n_hidden or int((n_emb * 3.5) // 32 * 32)
+    H = n_emb // head_size
+    rng = np.random.default_rng(seed)
+    L, C = n_layer, n_emb
+
+    def r(*shape, scale=0.5):
+        return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32))
+
+    mat = _quant_mat_builder(rng, quant, dtype)
 
     info = ModelInfo(
         version=ModelVersion.V7, num_layer=L, num_emb=C, num_hidden=n_hidden,
@@ -323,4 +338,82 @@ def synthetic_v7_params(
     att["lora_up"] = jnp.concatenate(
         [att["w2"], att["a2"], att["g2"], att["v2"]], axis=2
     )
+    return info, params
+
+
+def synthetic_v56_params(
+    *, version=6, n_layer=12, n_emb=768, head_size=64, n_vocab=65536,
+    n_hidden=None, rank_tm=32, rank_td=64, seed=0, dtype=None, quant=None,
+):
+    """RWKV-5/6 params as a JAX pytree (no GGUF round-trip), matching the
+    ``models.loader.load_model`` layout — used by the V6 decode bench and
+    the layer-scan kernel tests. V6 "world" models use hidden = 3.5·C
+    (the default here)."""
+    import jax.numpy as jnp
+    from ..models.info import CustomInfo, ModelInfo, ModelVersion
+
+    dtype = dtype or jnp.bfloat16
+    n_hidden = n_hidden or int((n_emb * 3.5) // 32 * 32)
+    H = n_emb // head_size
+    rng = np.random.default_rng(seed)
+    L, C = n_layer, n_emb
+
+    def r(*shape, scale=0.5):
+        return jnp.asarray((rng.normal(size=shape) * scale).astype(np.float32))
+
+    mat = _quant_mat_builder(rng, quant, dtype)
+
+    info = ModelInfo(
+        version=ModelVersion.V6 if version == 6 else ModelVersion.V5,
+        num_layer=L, num_emb=C, num_hidden=n_hidden, num_vocab=n_vocab,
+        num_head=H,
+        custom=CustomInfo(time_mix=rank_tm, time_decay=rank_td)
+        if version == 6 else CustomInfo(),
+    )
+    ln = lambda: {"w": 1.0 + r(L, C, scale=0.02), "b": r(L, C, scale=0.02)}
+    att = {
+        "time_first": r(L, H, head_size),
+        "gn": {"w": 1.0 + r(L, C, scale=0.02), "b": r(L, C, scale=0.02)},
+        "Wk": mat(L, C, C), "Wv": mat(L, C, C), "Wr": mat(L, C, C),
+        "Wg": mat(L, C, C), "Wo": mat(L, C, C),
+    }
+    if version == 6:
+        att.update({
+            "time_decay": r(L, C),  # raw; StableExp applied in forward
+            "mix_x": jnp.asarray(rng.uniform(0, 1, (L, C)).astype(np.float32)),
+            "time_mix": jnp.asarray(
+                rng.uniform(0, 1, (L, 5, C)).astype(np.float32)),
+            "tm_w1": r(L, 5 * rank_tm, C, scale=0.05).astype(dtype),
+            "tm_w2": r(L, 5, C, rank_tm, scale=0.05).astype(dtype),
+            "td_w1": r(L, rank_td, C, scale=0.05).astype(dtype),
+            "td_w2": r(L, C, rank_td, scale=0.05).astype(dtype),
+        })
+    else:
+        att.update({
+            # pre-activated decay (exp(-exp(w))), as load_model stores it
+            "time_decay": jnp.exp(-jnp.exp(r(L, H, head_size))),
+            **{f"mix_{s}": jnp.asarray(
+                rng.uniform(0, 1, (L, C)).astype(np.float32))
+               for s in "kvrg"},
+        })
+    params = {
+        "emb": jnp.asarray((rng.normal(size=(n_vocab, C)) * 0.3).astype(np.float16)),
+        "ln0": {"w": 1.0 + r(C, scale=0.02), "b": r(C, scale=0.02)},
+        "ln_out": {"w": 1.0 + r(C, scale=0.02), "b": r(C, scale=0.02)},
+        "head": mat(n_vocab, C),
+        "blocks": {
+            "ln1": ln(),
+            "ln2": ln(),
+            "att": att,
+            "ffn": {
+                "mix_k": jnp.asarray(
+                    rng.uniform(0, 1, (L, C)).astype(np.float32)),
+                "mix_r": jnp.asarray(
+                    rng.uniform(0, 1, (L, C)).astype(np.float32)),
+                "Wk": mat(L, n_hidden, C),
+                "Wv": mat(L, C, n_hidden),
+                "Wr": mat(L, C, C),
+            },
+        },
+    }
     return info, params
