@@ -294,6 +294,11 @@ class GgufFile:
             self.metadata[key] = cur.value()
 
         alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        # spec: alignment must be a positive power of two (llama.cpp
+        # asserts this); a zero/garbage value would otherwise crash the
+        # offset rounding below with a bare ZeroDivisionError
+        if alignment <= 0 or alignment & (alignment - 1):
+            raise GgufError(f"invalid general.alignment: {alignment}")
 
         self.tensors: dict[str, GgufTensorInfo] = {}
         for _ in range(tensor_count):
@@ -378,6 +383,11 @@ class GgufFile:
 
     def _raw(self, info: GgufTensorInfo) -> np.ndarray:
         start = self.tensor_data_offset + info.offset
+        if start + info.data_size > len(self.data):
+            raise GgufError(
+                f"tensor {info.name!r} data [{start}, {start + info.data_size})"
+                f" exceeds file size {len(self.data)}"
+            )
         return np.frombuffer(self.data, dtype=np.uint8, count=info.data_size, offset=start)
 
     def tensor(self, name: str, dtype=np.float16) -> np.ndarray:
