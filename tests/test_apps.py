@@ -322,17 +322,52 @@ def test_chat_app_scripted(model_file, vocab_file, capsys, monkeypatch):
     monkeypatch.setattr(builtins, "input", fake_input)
     chat.main([
         "--model", model_file, "--vocab", vocab_file,
-        "--sampler", "greedy", "--max-tokens", "6",
+        "--sampler", "greedy", "--max-tokens", "6", "--fused", "0",
     ])
     out = capsys.readouterr().out
     assert "Alice:" in out
     assert "[conversation reset]" in out
 
 
+def test_chat_app_default_is_fused(model_file, vocab_file, capsys,
+                                   monkeypatch):
+    """Round-5: chat defaults to the fused segment path for samplers the
+    on-device generator supports (per-call dispatch is 7x slower over
+    this environment's link); --fused 0 forces per-token dispatch."""
+    import builtins
+
+    from web_rwkv_gguf_tpu.apps import chat
+    from web_rwkv_gguf_tpu.models import generate as gen_mod
+
+    calls = []
+    orig = gen_mod.make_generator
+
+    def spy(*a, **k):
+        calls.append(k.get("steps"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gen_mod, "make_generator", spy)
+    lines = iter(["hi"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(lines)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr(builtins, "input", fake_input)
+    chat.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--sampler", "greedy", "--max-tokens", "6",
+    ])
+    assert "Alice:" in capsys.readouterr().out
+    assert calls and calls[0] == 8  # default segment, no flag passed
+
+
 def test_chat_app_fused(model_file, vocab_file, capsys, monkeypatch):
     """Chat's segment-wise fused mode: on-device sampled bursts stream
-    through the same loop (round-4 knob; per-token stays the default
-    for exact stop-point state)."""
+    through the same loop (the DEFAULT since round 5; pinned here with
+    an explicit segment size)."""
     import builtins
 
     from web_rwkv_gguf_tpu.apps import chat
