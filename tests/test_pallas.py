@@ -623,9 +623,11 @@ def test_layer_scan7_matches_forward(quant, B, C):
     (6, "q8_0", 1),                  # signed-byte code kind
     (6, "q4k", 16),                  # MAX_SCAN_BATCH full wide path
     (5, "q4k", 1), (5, "q4k", 5),    # V5: static mixes/decay variant
+    (4, "q4k", 1), (4, "q4k", 5),    # V4: per-channel max-trick WKV
+    (4, "q8_0", 1),
 ])
 def test_layer_scan56_matches_forward(version, quant, B):
-    """Whole-stack V5/V6 decode kernel vs the composed forward_chunk
+    """Whole-stack V4/V5/V6 decode kernel vs the composed forward_chunk
     path over several carried decode steps (same tolerance rationale as
     the V7 scan test: different contraction order, not bit-equality)."""
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state
@@ -662,15 +664,18 @@ def test_layer_scan56_matches_forward(version, quant, B):
             )
 
 
-def test_layer_scan56_mask_preserves_state():
-    """mask=0 must leave the V6 recurrent state unchanged."""
+@pytest.mark.parametrize("version", [6, 4])
+def test_layer_scan56_mask_preserves_state(version):
+    """mask=0 must leave the recurrent state unchanged — for V4 this
+    pins the jnp.where gating (pp carries f32::MIN sentinels a linear
+    blend would destroy)."""
     from web_rwkv_gguf_tpu.models import init_state
     from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, embed_tokens
     from web_rwkv_gguf_tpu.ops.pallas.layer56 import layer_scan56, prep_decode56
     from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
 
     info, params = synthetic_v56_params(
-        version=6, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
+        version=version, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
         n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
     )
     mega = prep_decode56(params, info)
@@ -686,14 +691,16 @@ def test_layer_scan56_mask_preserves_state():
         )
 
 
-def test_prepare_decode_routes_v6():
-    """prepare_decode attaches mega56 for uniformly-quantized V6 stacks
-    and forward_chunk consumes it at T=1 (routing pinned end-to-end)."""
+@pytest.mark.parametrize("version", [6, 4])
+def test_prepare_decode_routes_v6(version):
+    """prepare_decode attaches mega56 for uniformly-quantized V4/V6
+    stacks and forward_chunk consumes it at T=1 (routing pinned
+    end-to-end)."""
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state, prepare_decode
     from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
 
     info, params = synthetic_v56_params(
-        version=6, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
+        version=version, n_layer=2, n_emb=64, head_size=16, n_vocab=64,
         n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
     )
     pd = prepare_decode(params, info, batch_hint=1)
@@ -703,6 +710,32 @@ def test_prepare_decode_routes_v6():
     lens = jnp.ones((1,), jnp.int32)
     x_ref, s_ref = forward_chunk(info, params, init_state(info, 1), tok, lens)
     x_f, s_f = forward_chunk(info, pd, init_state(info, 1), tok, lens)
+    np.testing.assert_allclose(
+        np.asarray(x_f), np.asarray(x_ref), rtol=3e-3, atol=8e-3
+    )
+
+
+def test_v4_quantized_gguf_routes_fused():
+    """A direct-quantized V4 GGUF (legacy "rwkv" arch naming) loads into
+    Matrix blocks, prepare_decode attaches mega56, and the fused decode
+    step matches the composed path (logit tolerance — different rounding
+    class, never token equality across kernel classes)."""
+    from web_rwkv_gguf_tpu.gguf import GgufFile
+    from web_rwkv_gguf_tpu.models import (
+        forward_chunk, init_state, load_model, prepare_decode,
+    )
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+    from web_rwkv_gguf_tpu.utils.synthetic import make_v4_gguf
+
+    raw = make_v4_gguf(n_layer=2, n_emb=64, n_vocab=64, n_hidden=256,
+                       quantize=GgmlDType.Q4_K)
+    info, params = load_model(GgufFile(raw))
+    pd = prepare_decode(params, info, batch_hint=1)
+    assert "mega56" in pd, "quantized V4 GGUF should route to the fused path"
+    tok = jnp.asarray([[7]], jnp.int32)
+    lens = jnp.ones((1,), jnp.int32)
+    x_ref, _ = forward_chunk(info, params, init_state(info, 1), tok, lens)
+    x_f, _ = forward_chunk(info, pd, init_state(info, 1), tok, lens)
     np.testing.assert_allclose(
         np.asarray(x_f), np.asarray(x_ref), rtol=3e-3, atol=8e-3
     )

@@ -826,10 +826,10 @@ def forward_chunk(
             )
             return xo[:, None], new_state
 
-    # V5/V6 whole-stack decode kernel (ops/pallas/layer56.py) — same
+    # V4/V5/V6 whole-stack decode kernel (ops/pallas/layer56.py) — same
     # routing rules as the V7 branch above
     if (
-        version in (ModelVersion.V5, ModelVersion.V6)
+        version in (ModelVersion.V4, ModelVersion.V5, ModelVersion.V6)
         and hooks is None
         and T == 1
         and "mega56" in params

@@ -428,7 +428,7 @@ def prepare_decode(params: dict, info, batch_hint: int = 1) -> dict:
             out["mega7"] = mega
             return out
     if (
-        info.version in (ModelVersion.V5, ModelVersion.V6)
+        info.version in (ModelVersion.V4, ModelVersion.V5, ModelVersion.V6)
         and scan_batch_slice(batch_hint) is not None
         and _pcfg.use_pallas()
         and not isinstance(params.get("blocks"), list)

@@ -13,16 +13,20 @@ op-count-bound composed path (the reference serves v6 with the same
 kernel quality as v7: src/runtime/v6.rs:701-958 +
 src/shaders/time_mix_v6.wgsl). V5 is V6 minus the two data-dependent
 adapters (static per-head decay, static token-shift mixes, non-reversed
-lerp direction), so one kernel body serves both under a static
-``version`` switch.
+lerp direction), and V4 is simpler still (per-CHANNEL max-trick WKV, no
+heads/group-norm/gate, only r/k/v projections), so one kernel body
+serves all three under a static ``version`` switch.
 
-Per-layer math (identical to models/forward._layer_v5/_layer_v6):
+Per-layer math (identical to models/forward._layer_v4/_layer_v5/_layer_v6):
   V6: ddlerp 5-way token shift (time_mix_w1/w2 adapter), decay LoRA
       (time_decay_w1/w2) + StableExp, matrix-state WKV
       ``y = r·(u∘(k vᵀ) + S); S ← diag(w)·S + k vᵀ``, group-norm, silu
       gate, FFN with receptance (sigmoid(r)·v channel mix).
   V5: static mixes, static per-channel decay (activated at load),
       otherwise the same attention/FFN shape.
+  V4: static mixes, scalar-channel WKV with the (aa, bb, pp)
+      exponential-max-trick state (ref: src/shaders/time_mix_v4.wgsl,
+      src/runtime/v4.rs:152-184), ``y = sigmoid(r)·wkv``; same FFN.
 """
 
 from __future__ import annotations
@@ -71,8 +75,9 @@ def _layer_scan56_kernel(
     it = iter(refs)
     ln1_ref, ln2_ref = next(it), next(it)  # [1, 2, C]
     vecs_ref = next(it)  # [1, nv, C]
-    heads_ref = next(it)  # [1, nh, H, hs] (time_first[, time_decay])
-    gn_ref = next(it)  # [1, 2, C]
+    if version != 4:
+        heads_ref = next(it)  # [1, nh, H, hs] (time_first[, time_decay])
+        gn_ref = next(it)  # [1, 2, C]
     if version == 6:
         tm_ref = next(it)  # [1, 5, C] static 5-way mixes (w,k,v,r,g)
         tmw1_ref = next(it)  # [1, 5r, C] bf16
@@ -82,12 +87,17 @@ def _layer_scan56_kernel(
     wrefs = {}
     for tag, native in zip(_TAGS, native_tags):
         wrefs[tag] = tuple(next(it) for _ in range(len(_form_keys(native))))
-    x_in_ref, ash_in_ref, fsh_in_ref, wkv_in_ref, mask_ref = (
-        next(it), next(it), next(it), next(it), next(it),
-    )
-    x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref = (
-        next(it), next(it), next(it), next(it),
-    )
+    x_in_ref, ash_in_ref, fsh_in_ref = next(it), next(it), next(it)
+    if version == 4:
+        aa_in_ref, bb_in_ref, pp_in_ref = next(it), next(it), next(it)
+        mask_ref = next(it)
+        x_out_ref, ash_out_ref, fsh_out_ref = next(it), next(it), next(it)
+        aa_out_ref, bb_out_ref, pp_out_ref = next(it), next(it), next(it)
+    else:
+        wkv_in_ref, mask_ref = next(it), next(it)
+        x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref = (
+            next(it), next(it), next(it), next(it),
+        )
     x_scr = next(it)
 
     def st_off(tag, j=None):
@@ -135,18 +145,22 @@ def _layer_scan56_kernel(
             shifted.append(xx + mix_s * (sh - xx))
         wx, kx, vx, rx, gx = shifted  # stacked order (w, k, v, r, g)
     else:
-        # V5 static mixes, NON-reversed lerp: out = prev + mix·(x − prev)
+        # V4/V5 static mixes, NON-reversed lerp: out = prev + mix·(x − prev)
         def shift5(idx):
             mv = vecs_ref[0, idx : idx + 1]
             return sh + mv * (xx - sh)
 
-        kx, vx, rx, gx = shift5(0), shift5(1), shift5(2), shift5(3)
+        if version == 4:
+            kx, vx, rx = shift5(0), shift5(1), shift5(2)
+        else:
+            kx, vx, rx, gx = shift5(0), shift5(1), shift5(2), shift5(3)
 
-    # --- r/k/v/g projections (grouped quantized gemv) ------------------------
+    # --- r/k/v[/g] projections (grouped quantized gemv) ----------------------
     mdim = C
     rkvg_codes_ref = wrefs["rkvg"][0]
+    proj_in = (rx, kx, vx) if version == 4 else (rx, kx, vx, gx)
     outs = []
-    for j, xin in enumerate((rx, kx, vx, gx)):
+    for j, xin in enumerate(proj_in):
         codes = rkvg_codes_ref[0, j * mdim : (j + 1) * mdim]
         st_j, off_j = st_off("rkvg", j)
         outs.append(
@@ -154,41 +168,62 @@ def _layer_scan56_kernel(
                       split=splits["rkvg"], m=mdim, k=C, wide=wide["rkvg"],
                       field1=f1["rkvg"])
         )
-    r, k, v, g_fl = outs
-
-    # --- decay ---------------------------------------------------------------
-    m1, m2 = _head_masks(C, H, hs)
-    if version == 6:
-        # decay LoRA + StableExp (ref: v6.rs:831-849)
-        dz = jnp.tanh(dot11(wx, tdw1_ref[0]))  # [B, D]
-        w_raw = dot11(dz, tdw2_ref[0]) + vecs_ref[0, 1:2]  # + time_decay
-        w_act = jnp.exp(-jnp.exp(w_raw))  # StableExp (ref: ops.rs:211-213)
-        wh = _to_heads(w_act, m1, m2, B)  # [B, H, K]
+    if version == 4:
+        # --- per-channel max-trick WKV (ref: time_mix_v4.wgsl:72-107) --------
+        r, k, v = outs
+        u = vecs_ref[0, 3:4]  # time_first
+        w = vecs_ref[0, 4:5]  # -exp(time_decay), activated at load
+        aa, bb, pp = aa_in_ref[0], bb_in_ref[0], pp_in_ref[0]
+        ww = u + k
+        q = jnp.maximum(pp, ww)
+        e1 = jnp.exp(pp - q)
+        e2 = jnp.exp(ww - q)
+        y_fl = jax.nn.sigmoid(r) * (e1 * aa + e2 * v) / (e1 * bb + e2)
+        ww2 = w + pp
+        q2 = jnp.maximum(ww2, k)
+        e1n = jnp.exp(ww2 - q2)
+        e2n = jnp.exp(k - q2)
+        # jnp.where, not a linear blend: pp carries f32::MIN sentinels
+        mb = m_lane > 0.0
+        aa_out_ref[0] = jnp.where(mb, e1n * aa + e2n * v, aa)
+        bb_out_ref[0] = jnp.where(mb, e1n * bb + e2n, bb)
+        pp_out_ref[0] = jnp.where(mb, q2, pp)
     else:
-        wh = heads_ref[0, 1][None]  # [1, H, K] pre-activated at load
+        r, k, v, g_fl = outs
 
-    u = heads_ref[0, 0][None]  # [1, H, K] time_first
+        # --- decay -----------------------------------------------------------
+        m1, m2 = _head_masks(C, H, hs)
+        if version == 6:
+            # decay LoRA + StableExp (ref: v6.rs:831-849)
+            dz = jnp.tanh(dot11(wx, tdw1_ref[0]))  # [B, D]
+            w_raw = dot11(dz, tdw2_ref[0]) + vecs_ref[0, 1:2]  # + time_decay
+            w_act = jnp.exp(-jnp.exp(w_raw))  # StableExp (ref: ops.rs:211-213)
+            wh = _to_heads(w_act, m1, m2, B)  # [B, H, K]
+        else:
+            wh = heads_ref[0, 1][None]  # [1, H, K] pre-activated at load
 
-    # --- matrix-state WKV (ref: time_mix_v{5,6}.wgsl:82-157) -----------------
-    rh = _to_heads(r, m1, m2, B)
-    kh = _to_heads(k, m1, m2, B)
-    vh = _to_heads(v, m1, m2, B)
-    gnw_h = _to_heads(gn_ref[0, 0:1], m1, m2, 1)
-    gnb_h = _to_heads(gn_ref[0, 1:2], m1, m2, 1)
+        u = heads_ref[0, 0][None]  # [1, H, K] time_first
 
-    S = wkv_in_ref[0]  # [B, H, K, V]
-    kv = kh[:, :, :, None] * vh[:, :, None, :]
-    y0 = jnp.sum(rh[:, :, :, None] * (u[:, :, :, None] * kv + S), axis=2)
-    S_n = wh[:, :, :, None] * S + kv
-    mst = m_lane[:, :, None, None]
-    wkv_out_ref[0] = S + mst * (S_n - S)
+        # --- matrix-state WKV (ref: time_mix_v{5,6}.wgsl:82-157) -------------
+        rh = _to_heads(r, m1, m2, B)
+        kh = _to_heads(k, m1, m2, B)
+        vh = _to_heads(v, m1, m2, B)
+        gnw_h = _to_heads(gn_ref[0, 0:1], m1, m2, 1)
+        gnb_h = _to_heads(gn_ref[0, 1:2], m1, m2, 1)
 
-    # group-norm over each head's V lanes + silu(g) gate
-    mu = jnp.mean(y0, axis=2, keepdims=True)
-    var = jnp.mean((y0 - mu) * (y0 - mu), axis=2, keepdims=True)
-    yn = (y0 - mu) * jax.lax.rsqrt(var + eps_gn) * gnw_h + gnb_h
-    y_fl = _from_heads(yn, m1, m2, B)  # [B, C]
-    y_fl = y_fl * (g_fl * jax.nn.sigmoid(g_fl))  # silu gate
+        S = wkv_in_ref[0]  # [B, H, K, V]
+        kv = kh[:, :, :, None] * vh[:, :, None, :]
+        y0 = jnp.sum(rh[:, :, :, None] * (u[:, :, :, None] * kv + S), axis=2)
+        S_n = wh[:, :, :, None] * S + kv
+        mst = m_lane[:, :, None, None]
+        wkv_out_ref[0] = S + mst * (S_n - S)
+
+        # group-norm over each head's V lanes + silu(g) gate
+        mu = jnp.mean(y0, axis=2, keepdims=True)
+        var = jnp.mean((y0 - mu) * (y0 - mu), axis=2, keepdims=True)
+        yn = (y0 - mu) * jax.lax.rsqrt(var + eps_gn) * gnw_h + gnb_h
+        y_fl = _from_heads(yn, m1, m2, B)  # [B, C]
+        y_fl = y_fl * (g_fl * jax.nn.sigmoid(g_fl))  # silu gate
 
     # --- output projection + residual ----------------------------------------
     wo_st, wo_off = st_off("wo")
@@ -203,7 +238,7 @@ def _layer_scan56_kernel(
     ln2w, ln2b = ln2_ref[0, 0:1], ln2_ref[0, 1:2]
     xx2 = _ln(x, ln2w, ln2b, eps_ln)
     fsh = fsh_in_ref[0]
-    nv0 = 2 if version == 6 else 4
+    nv0 = {6: 2, 5: 4, 4: 5}[version]
     fmk = vecs_ref[0, nv0 : nv0 + 1]
     fmr = vecs_ref[0, nv0 + 1 : nv0 + 2]
     if version == 6:
@@ -283,22 +318,24 @@ def _st_off_shim(wrefs, native_tags, tag, j=None):
 
 def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
     """Build stacked decode blocks for :func:`layer_scan56` from loaded
-    V5/V6 params, or None if ineligible (mixed per-layer formats,
+    V4/V5/V6 params, or None if ineligible (mixed per-layer formats,
     dense/NF4 matrices, padded FFN, missing stacks)."""
     from ...models.info import ModelVersion
 
-    version = 6 if info.version == ModelVersion.V6 else 5
+    version = {ModelVersion.V6: 6, ModelVersion.V5: 5,
+               ModelVersion.V4: 4}[info.version]
     blocks = params.get("blocks")
     if isinstance(blocks, list) or not isinstance(blocks, dict):
         return None
     att, ffn = blocks["att"], blocks["ffn"]
     C, H, hs = info.num_emb, info.num_head, info.head_size
-    if C != H * hs:
+    if version != 4 and C != H * hs:
         return None
     if version == 6 and "tm_w1" not in att:
         return None
 
-    rkvg = [_prep_matrix(att.get(k)) for k in ("Wr", "Wk", "Wv", "Wg")]
+    proj_names = ("Wr", "Wk", "Wv") if version == 4 else ("Wr", "Wk", "Wv", "Wg")
+    rkvg = [_prep_matrix(att.get(k)) for k in proj_names]
     wo = _prep_matrix(att.get("Wo"))
     fr = _prep_matrix(ffn.get("Wr"))
     fk = _prep_matrix(ffn.get("Wk"))
@@ -331,10 +368,20 @@ def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
                          axis=1),
         "ln2": jnp.stack([f32(blocks["ln2"]["w"]), f32(blocks["ln2"]["b"])],
                          axis=1),
-        "gn": jnp.stack([f32(att["gn"]["w"]), f32(att["gn"]["b"])], axis=1),
         "rkvg_codes": jnp.concatenate([p["codes"] for p in rkvg], axis=1),
     }
-    if version == 6:
+    if version != 4:
+        mega["gn"] = jnp.stack(
+            [f32(att["gn"]["w"]), f32(att["gn"]["b"])], axis=1
+        )
+    if version == 4:
+        mega["vecs"] = jnp.stack(
+            [f32(att["mix_k"]), f32(att["mix_v"]), f32(att["mix_r"]),
+             f32(att["time_first"]), f32(att["time_decay"]),  # -exp form
+             f32(ffn["mix_k"]), f32(ffn["mix_r"])], axis=1,
+        )  # [L, 7, C]
+        r5 = 0
+    elif version == 6:
         mega["vecs"] = jnp.stack(
             [f32(att["mix_x"]), f32(att["time_decay"]),
              f32(ffn["mix_k"]), f32(ffn["mix_r"])], axis=1,
@@ -388,7 +435,10 @@ def layer_scan56(
     rescale: int | None,
     eps_ln: float, eps_gn: float,
 ) -> tuple[jax.Array, dict]:
-    """Run the stacked V5/V6 decode blocks: ``(x_out [B, C], new_state)``."""
+    """Run the stacked V4/V5/V6 decode blocks: ``(x_out [B, C], new_state)``.
+
+    V4 state is ``{att_shift, aa, bb, pp, ffn_shift}`` (all [L, B, C]);
+    V5/V6 carry ``{att_shift, wkv, ffn_shift}``."""
     s = mega.static
     version = s["version"]
     L, C, H, hs, hidden = s["L"], s["C"], s["H"], s["hs"], s["hidden"]
@@ -406,8 +456,9 @@ def layer_scan56(
         return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    operands = [mega["ln1"], mega["ln2"], mega["vecs"], mega["heads"],
-                mega["gn"]]
+    operands = [mega["ln1"], mega["ln2"], mega["vecs"]]
+    if version != 4:
+        operands += [mega["heads"], mega["gn"]]
     in_specs = [blk(tuple(a.shape[1:])) for a in operands]
     if version == 6:
         for key in ("time_mix", "tm_w1", "tm_w2", "td_w1", "td_w2"):
@@ -425,16 +476,20 @@ def layer_scan56(
         x.astype(f32),
         state["att_shift"].astype(f32),
         state["ffn_shift"].astype(f32),
-        state["wkv"].astype(f32),
-        mask.astype(f32)[:, None],
     ]
-    in_specs += [
-        full((B, C)),
-        blk((B, C)),
-        blk((B, C)),
-        blk((B, H, hs, hs)),
-        full((B, 1)),
-    ]
+    in_specs += [full((B, C)), blk((B, C)), blk((B, C))]
+    if version == 4:
+        operands += [
+            state["aa"].astype(f32),
+            state["bb"].astype(f32),
+            state["pp"].astype(f32),
+        ]
+        in_specs += [blk((B, C))] * 3
+    else:
+        operands.append(state["wkv"].astype(f32))
+        in_specs.append(blk((B, H, hs, hs)))
+    operands.append(mask.astype(f32)[:, None])
+    in_specs.append(full((B, 1)))
 
     wide = B > config.wide_batch
     wide_map = {tag: wide for tag in _TAGS}
@@ -447,22 +502,30 @@ def layer_scan56(
         r5=s["r5"], eps_ln=eps_ln, eps_gn=eps_gn, wide=wide_map,
     )
 
-    out_specs = (full((B, C)), blk((B, C)), blk((B, C)), blk((B, H, hs, hs)))
-    out_shape = (
-        jax.ShapeDtypeStruct((B, C), f32),
-        jax.ShapeDtypeStruct((L, B, C), f32),
-        jax.ShapeDtypeStruct((L, B, C), f32),
-        jax.ShapeDtypeStruct((L, B, H, hs, hs), f32),
-    )
+    lbc = jax.ShapeDtypeStruct((L, B, C), f32)
+    if version == 4:
+        n_state = 5  # att_shift, ffn_shift, aa, bb, pp
+        out_specs = (full((B, C)),) + (blk((B, C)),) * 5
+        out_shape = (jax.ShapeDtypeStruct((B, C), f32),) + (lbc,) * 5
+        state_bytes = 5 * L * B * C
+    else:
+        n_state = 3
+        out_specs = (full((B, C)), blk((B, C)), blk((B, C)),
+                     blk((B, H, hs, hs)))
+        out_shape = (
+            jax.ShapeDtypeStruct((B, C), f32), lbc, lbc,
+            jax.ShapeDtypeStruct((L, B, H, hs, hs), f32),
+        )
+        state_bytes = 8 * L * B * H * hs * hs
 
     # state outputs alias their inputs (see layer7's rationale: avoids
     # re-copying the [L, B, H, K, V] WKV tensor into the loop carry)
-    state_in0 = len(operands) - 4
-    x_out, ash, fsh, wkv = pl.pallas_call(
+    state_in0 = len(operands) - 1 - n_state
+    outs = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=in_specs,
-        input_output_aliases={state_in0: 1, state_in0 + 1: 2, state_in0 + 2: 3},
+        input_output_aliases={state_in0 + j: 1 + j for j in range(n_state)},
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, C), f32)],  # residual carry
@@ -471,14 +534,20 @@ def layer_scan56(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * L * B * C * (5 * C + hidden * 2 + H * hs),
+            flops=4 * L * B * C * (5 * C + hidden * 2
+                                   + (0 if version == 4 else H * hs)),
             bytes_accessed=int(
                 mega["rkvg_codes"].size + mega["fk_codes"].size
                 + mega["fv_codes"].size + mega["wo_codes"].size
                 + mega["fr_codes"].size
-                + 8 * L * B * H * hs * hs
+                + state_bytes
             ),
             transcendentals=6 * L * B * C,
         ),
     )(*operands)
+    if version == 4:
+        x_out, ash, fsh, aa, bb, pp = outs
+        return x_out, {"att_shift": ash, "aa": aa, "bb": bb, "pp": pp,
+                       "ffn_shift": fsh}
+    x_out, ash, fsh, wkv = outs
     return x_out, {"att_shift": ash, "wkv": wkv, "ffn_shift": fsh}

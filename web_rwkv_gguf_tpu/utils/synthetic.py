@@ -93,7 +93,8 @@ def make_v7_gguf(
     return w.tobytes()
 
 
-def make_v4_gguf(*, n_layer=2, n_emb=16, n_vocab=32, n_hidden=None, seed=0):
+def make_v4_gguf(*, n_layer=2, n_emb=16, n_vocab=32, n_hidden=None, seed=0,
+                 quantize=None):
     n_hidden = n_hidden or 4 * n_emb
     rng = np.random.default_rng(seed)
     w = GgufWriter()
@@ -102,12 +103,15 @@ def make_v4_gguf(*, n_layer=2, n_emb=16, n_vocab=32, n_hidden=None, seed=0):
     def r(*shape, scale=0.5):
         return (rng.normal(size=shape) * scale).astype(np.float32)
 
+    def mat(name, arr):  # layer matrices follow the requested format
+        w.add_tensor(name, arr, quantize=quantize)
+
     w.add_tensor("token_embd.weight", r(n_vocab, n_emb))
     w.add_tensor("token_embd_norm.weight", 1.0 + r(n_emb, scale=0.1))
     w.add_tensor("token_embd_norm.bias", r(n_emb, scale=0.1))
     w.add_tensor("output_norm.weight", 1.0 + r(n_emb, scale=0.1))
     w.add_tensor("output_norm.bias", r(n_emb, scale=0.1))
-    w.add_tensor("output.weight", r(n_vocab, n_emb))
+    mat("output.weight", r(n_vocab, n_emb))
     for i in range(n_layer):
         p = f"blk.{i}"
         w.add_tensor(f"{p}.attn_norm.weight", 1.0 + r(n_emb, scale=0.1))
@@ -118,15 +122,15 @@ def make_v4_gguf(*, n_layer=2, n_emb=16, n_vocab=32, n_hidden=None, seed=0):
         w.add_tensor(f"{p}.attn_time_first", r(n_emb))
         for s in "kvr":
             w.add_tensor(f"{p}.attn_time_mix_{s}", rng.uniform(0, 1, n_emb).astype(np.float32))
-        w.add_tensor(f"{p}.attn_k.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_v.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_r.weight", r(n_emb, n_emb))
-        w.add_tensor(f"{p}.attn_output.weight", r(n_emb, n_emb))
+        mat(f"{p}.attn_k.weight", r(n_emb, n_emb))
+        mat(f"{p}.attn_v.weight", r(n_emb, n_emb))
+        mat(f"{p}.attn_r.weight", r(n_emb, n_emb))
+        mat(f"{p}.attn_output.weight", r(n_emb, n_emb))
         w.add_tensor(f"{p}.ffn_time_mix_k", rng.uniform(0, 1, n_emb).astype(np.float32))
         w.add_tensor(f"{p}.ffn_time_mix_r", rng.uniform(0, 1, n_emb).astype(np.float32))
-        w.add_tensor(f"{p}.ffn_k.weight", r(n_hidden, n_emb))
-        w.add_tensor(f"{p}.ffn_v.weight", r(n_emb, n_hidden))
-        w.add_tensor(f"{p}.ffn_r.weight", r(n_emb, n_emb))
+        mat(f"{p}.ffn_k.weight", r(n_hidden, n_emb))
+        mat(f"{p}.ffn_v.weight", r(n_emb, n_hidden))
+        mat(f"{p}.ffn_r.weight", r(n_emb, n_emb))
     return w.tobytes()
 
 
@@ -345,10 +349,10 @@ def synthetic_v56_params(
     *, version=6, n_layer=12, n_emb=768, head_size=64, n_vocab=65536,
     n_hidden=None, rank_tm=32, rank_td=64, seed=0, dtype=None, quant=None,
 ):
-    """RWKV-5/6 params as a JAX pytree (no GGUF round-trip), matching the
-    ``models.loader.load_model`` layout — used by the V6 decode bench and
-    the layer-scan kernel tests. V6 "world" models use hidden = 3.5·C
-    (the default here)."""
+    """RWKV-4/5/6 params as a JAX pytree (no GGUF round-trip), matching
+    the ``models.loader.load_model`` layout — used by the V4/V6 decode
+    bench and the layer-scan kernel tests. V6 "world" models use
+    hidden = 3.5·C (the default here)."""
     import jax.numpy as jnp
     from ..models.info import CustomInfo, ModelInfo, ModelVersion
 
@@ -364,19 +368,33 @@ def synthetic_v56_params(
     mat = _quant_mat_builder(rng, quant, dtype)
 
     info = ModelInfo(
-        version=ModelVersion.V6 if version == 6 else ModelVersion.V5,
+        version={6: ModelVersion.V6, 5: ModelVersion.V5,
+                 4: ModelVersion.V4}[version],
         num_layer=L, num_emb=C, num_hidden=n_hidden, num_vocab=n_vocab,
         num_head=H,
         custom=CustomInfo(time_mix=rank_tm, time_decay=rank_td)
         if version == 6 else CustomInfo(),
     )
     ln = lambda: {"w": 1.0 + r(L, C, scale=0.02), "b": r(L, C, scale=0.02)}
-    att = {
-        "time_first": r(L, H, head_size),
-        "gn": {"w": 1.0 + r(L, C, scale=0.02), "b": r(L, C, scale=0.02)},
-        "Wk": mat(L, C, C), "Wv": mat(L, C, C), "Wr": mat(L, C, C),
-        "Wg": mat(L, C, C), "Wo": mat(L, C, C),
-    }
+    if version == 4:
+        att = {
+            # per-CHANNEL vectors; decay stored -exp-activated as
+            # load_model does (OppositeExp, ref: loader.rs:480-519)
+            "time_first": r(L, C, scale=0.3),
+            "time_decay": -jnp.exp(r(L, C, scale=0.3)),
+            **{f"mix_{s}": jnp.asarray(
+                rng.uniform(0, 1, (L, C)).astype(np.float32))
+               for s in "kvr"},
+            "Wk": mat(L, C, C), "Wv": mat(L, C, C), "Wr": mat(L, C, C),
+            "Wo": mat(L, C, C),
+        }
+    else:
+        att = {
+            "time_first": r(L, H, head_size),
+            "gn": {"w": 1.0 + r(L, C, scale=0.02), "b": r(L, C, scale=0.02)},
+            "Wk": mat(L, C, C), "Wv": mat(L, C, C), "Wr": mat(L, C, C),
+            "Wg": mat(L, C, C), "Wo": mat(L, C, C),
+        }
     if version == 6:
         att.update({
             "time_decay": r(L, C),  # raw; StableExp applied in forward
@@ -388,7 +406,7 @@ def synthetic_v56_params(
             "td_w1": r(L, rank_td, C, scale=0.05).astype(dtype),
             "td_w2": r(L, C, rank_td, scale=0.05).astype(dtype),
         })
-    else:
+    elif version == 5:
         att.update({
             # pre-activated decay (exp(-exp(w))), as load_model stores it
             "time_decay": jnp.exp(-jnp.exp(r(L, H, head_size))),
