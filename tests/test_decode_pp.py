@@ -87,6 +87,86 @@ def test_layer_scan7_stage_split_matches_full(rescale, quant):
             )
 
 
+@pytest.mark.parametrize("version,rescale", [(6, None), (6, 2), (4, 2)])
+def test_layer_scan56_stage_split_matches_full(version, rescale):
+    """V4/V6: running the layer56 stack as two stage calls (with the
+    global layer offset operand) must equal one full call bit-for-bit —
+    the stage handoff is only the residual x."""
+    from web_rwkv_gguf_tpu.ops.pallas.layer56 import layer_scan56, prep_decode56
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    B = 2
+    info, params = synthetic_v56_params(
+        version=version, n_layer=4, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
+    )
+    mega = prep_decode56(params, info)
+    assert mega is not None
+    stages = _split_mega(mega, 2)
+    lps = mega.static["L"] // 2
+
+    state_f = init_state(info, B)
+    state_s = init_state(info, B)
+    mask = jnp.ones((B,), jnp.float32)
+    for t in (3, 9):
+        tok = (jnp.arange(B, dtype=jnp.int32)[:, None] * 7 + t) % 64
+        x = embed_tokens(params, tok)[:, 0]
+        xo_f, state_f = layer_scan56(mega, state_f, x, mask, rescale,
+                                     LN_EPS, GN_EPS)
+
+        parts = []
+        xo = x
+        for s, smega in enumerate(stages):
+            lst = jax.tree.map(lambda a: a[s * lps : (s + 1) * lps], state_s)
+            xo, new_lst = layer_scan56(
+                smega, lst, xo, mask, rescale, LN_EPS, GN_EPS,
+                goff=jnp.float32(s * lps),
+            )
+            parts.append(new_lst)
+        state_s = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
+
+        np.testing.assert_array_equal(np.asarray(xo_f), np.asarray(xo))
+        for kk in state_f:
+            np.testing.assert_array_equal(
+                np.asarray(state_f[kk]), np.asarray(state_s[kk]), err_msg=kk
+            )
+
+
+@pytest.mark.parametrize("version", [6, 4])
+def test_pipelined_decoder_v56(version):
+    """V4/V6 pipelined fused decode end-to-end: the PipelinedDecoder
+    preps mega56 itself, stage-splits the layer56 kernel, and its
+    greedy stream equals the single-device greedy_scan_reference
+    token-for-token."""
+    from web_rwkv_gguf_tpu.models import prepare_decode
+    from web_rwkv_gguf_tpu.parallel import PipelinedDecoder
+    from web_rwkv_gguf_tpu.parallel.decode_pp import greedy_scan_reference
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    S, G, B, steps = 2, 2, 2, 3
+    info, params = synthetic_v56_params(
+        version=version, n_layer=4, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
+    )
+    mesh = Mesh(np.array(jax.devices()[:S]), ("pp",))
+    dec = PipelinedDecoder(info, params, mesh)  # no mega56: prepped inside
+    token0 = jnp.asarray(
+        (np.arange(G * B).reshape(G, B) * 7 + 1) % 64, jnp.int32
+    )
+    t1 = dec.generate(token0, steps)
+    assert t1.shape == (G, B, steps)
+
+    pd = prepare_decode(params, info, batch_hint=1)
+    assert "mega56" in pd
+    for g in range(G):
+        ref, _ = greedy_scan_reference(info, pd, token0[g], steps)
+        np.testing.assert_array_equal(
+            np.asarray(t1[g]), np.asarray(ref), err_msg=f"g{g}"
+        )
+
+
 def test_pp_generator_matches_single_device():
     """Greedy pipelined generation over 4 stages == a single-device
     run of the SAME kernels, token for token, for every group. (The

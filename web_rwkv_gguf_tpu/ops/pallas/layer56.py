@@ -65,7 +65,7 @@ def _layer_scan56_kernel(
     *refs,
     # statics
     B, C, H, hs, hidden, L, rescale, version,
-    splits, native_tags, r5, eps_ln, eps_gn, wide,
+    splits, native_tags, r5, eps_ln, eps_gn, wide, has_goff,
 ):
     """Ref layout (positional, mirrors layer_scan56's operand assembly):
     ln1, ln2, vecs, heads, gn, [v6: time_mix, tm_w1, tm_w2, td_w1,
@@ -90,11 +90,14 @@ def _layer_scan56_kernel(
     x_in_ref, ash_in_ref, fsh_in_ref = next(it), next(it), next(it)
     if version == 4:
         aa_in_ref, bb_in_ref, pp_in_ref = next(it), next(it), next(it)
-        mask_ref = next(it)
+    else:
+        wkv_in_ref = next(it)
+    mask_ref = next(it)
+    goff_ref = next(it) if has_goff else None
+    if version == 4:
         x_out_ref, ash_out_ref, fsh_out_ref = next(it), next(it), next(it)
         aa_out_ref, bb_out_ref, pp_out_ref = next(it), next(it), next(it)
     else:
-        wkv_in_ref, mask_ref = next(it), next(it)
         x_out_ref, ash_out_ref, fsh_out_ref, wkv_out_ref = (
             next(it), next(it), next(it), next(it),
         )
@@ -268,7 +271,10 @@ def _layer_scan56_kernel(
     fsh_out_ref[0] = fsh + m_lane * (xx2 - fsh)
 
     if rescale is not None:
-        x = jnp.where((i + 1) % rescale == 0, x * 0.5, x)
+        # stage-split runs pass the stage's global layer offset so the
+        # rescale modulo stays aligned with the single-device scan
+        idx = i + (goff_ref[0, 0].astype(jnp.int32) if has_goff else 0)
+        x = jnp.where((idx + 1) % rescale == 0, x * 0.5, x)
 
     x_scr[:] = x
 
@@ -434,11 +440,15 @@ def layer_scan56(
     mask: jax.Array,  # [B] 0/1
     rescale: int | None,
     eps_ln: float, eps_gn: float,
+    goff: jax.Array | None = None,  # global layer offset (pipeline stage)
 ) -> tuple[jax.Array, dict]:
     """Run the stacked V4/V5/V6 decode blocks: ``(x_out [B, C], new_state)``.
 
     V4 state is ``{att_shift, aa, bb, pp, ffn_shift}`` (all [L, B, C]);
-    V5/V6 carry ``{att_shift, wkv, ffn_shift}``."""
+    V5/V6 carry ``{att_shift, wkv, ffn_shift}``. ``goff`` (a scalar
+    array) is only needed when a pipeline stage runs a layer SLICE with
+    ``rescale`` active — it keeps the every-``rescale``-layers halving
+    aligned with the global layer index."""
     s = mega.static
     version = s["version"]
     L, C, H, hs, hidden = s["L"], s["C"], s["H"], s["hs"], s["hidden"]
@@ -490,6 +500,10 @@ def layer_scan56(
         in_specs.append(blk((B, H, hs, hs)))
     operands.append(mask.astype(f32)[:, None])
     in_specs.append(full((B, 1)))
+    has_goff = goff is not None
+    if has_goff:
+        operands.append(jnp.asarray(goff, f32).reshape(1, 1))
+        in_specs.append(full((1, 1)))
 
     wide = B > config.wide_batch
     wide_map = {tag: wide for tag in _TAGS}
@@ -500,6 +514,7 @@ def layer_scan56(
         version=version,
         splits=dict(zip(_TAGS, s["splits"])), native_tags=native_tags,
         r5=s["r5"], eps_ln=eps_ln, eps_gn=eps_gn, wide=wide_map,
+        has_goff=has_goff,
     )
 
     lbc = jax.ShapeDtypeStruct((L, B, C), f32)
@@ -520,7 +535,7 @@ def layer_scan56(
 
     # state outputs alias their inputs (see layer7's rationale: avoids
     # re-copying the [L, B, H, K, V] WKV tensor into the loop carry)
-    state_in0 = len(operands) - 1 - n_state
+    state_in0 = len(operands) - (2 if has_goff else 1) - n_state
     outs = pl.pallas_call(
         kernel,
         grid=(L,),

@@ -34,21 +34,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..errors import EngineError, UnsupportedFeature
 from ..models.forward import GN_EPS, L2_EPS, LN_EPS, logits_head
 from ..models.generate import make_sampler
-from ..models.info import ModelInfo, ModelVersion
+from ..models.info import ModelInfo
 from ..ops.pallas.layer7 import DecodeBlocks7, layer_scan7
+from ..ops.pallas.layer56 import layer_scan56
+
+
+def _find_mega(params: dict) -> DecodeBlocks7:
+    """The attached layer-scan decode blocks (V7's ``mega7`` or the
+    V4/V5/V6 ``mega56``), or raise."""
+    mega = params.get("mega7") or params.get("mega56")
+    if mega is None:
+        raise UnsupportedFeature(
+            "pipelined decode needs the layer-scan blocks "
+            "(models.loader.prepare_decode)"
+        )
+    return mega
 
 
 def make_pp_params(params: dict, mesh: Mesh, *, axis: str = "pp") -> dict:
     """Place loaded params for the pipelined decoder: the mega decode
     blocks shard their leading L axis over ``axis``; embedding, ln0,
-    ln_out and the head replicate. Requires ``params["mega7"]``
-    (loader.prepare_decode builds it)."""
-    if "mega7" not in params:
-        raise UnsupportedFeature(
-            "pipelined decode needs the layer-scan blocks "
-            "(models.loader.prepare_decode)"
-        )
-    mega: DecodeBlocks7 = params["mega7"]
+    ln_out and the head replicate. Requires ``params["mega7"]`` (V7) or
+    ``params["mega56"]`` (V4/V5/V6) — loader.prepare_decode builds
+    them."""
+    mega: DecodeBlocks7 = _find_mega(params)
     L = mega.static["L"]
     S = mesh.shape[axis]
     if L % S:
@@ -91,7 +100,8 @@ def greedy_scan_reference(info: ModelInfo, params: dict, token0, steps: int,
     class, so greedy tokens can legitimately differ on near-ties.)"""
     from ..models.forward import embed_tokens, init_state
 
-    mega: DecodeBlocks7 = params["mega7"]
+    mega: DecodeBlocks7 = _find_mega(params)
+    version = mega.static.get("version", 7)
     B = token0.shape[0]
     state = init_state(info, B)
     mask = jnp.ones((B,), jnp.float32)
@@ -100,10 +110,16 @@ def greedy_scan_reference(info: ModelInfo, params: dict, token0, steps: int,
     toks = []
     for _ in range(steps):
         x = embed_tokens(params, tok[:, None])[:, 0]
-        xo, state = layer_scan7(
-            mega, state, x, mask, rescale if do_rescale else None,
-            LN_EPS, GN_EPS, L2_EPS,
-        )
+        if version == 7:
+            xo, state = layer_scan7(
+                mega, state, x, mask, rescale if do_rescale else None,
+                LN_EPS, GN_EPS, L2_EPS,
+            )
+        else:
+            xo, state = layer_scan56(
+                mega, state, x, mask, rescale if do_rescale else None,
+                LN_EPS, GN_EPS,
+            )
         logits = logits_head(params, xo)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         toks.append(tok)
@@ -132,8 +148,7 @@ def make_pp_generator(
     (temperature 0) matches models.generate.make_generator per group
     exactly — same kernels, same head, same argmax.
     """
-    if info.version != ModelVersion.V7:
-        raise UnsupportedFeature("pipelined fused decode is V7-only")
+    version = mega_static.get("version", 7)
     S = mesh.shape[axis]
     L = mega_static["L"]
     if L % S:
@@ -181,11 +196,22 @@ def make_pp_generator(
                 lambda a: jax.lax.dynamic_index_in_dim(a, g, 1, keepdims=False),
                 state,
             )
-            x_o, new_lst, v0_o = layer_scan7(
-                mega_local, lst, x_in, mask,
-                rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS,
-                v0_carry=(v0_pipe, meta),
-            )
+            if version == 7:
+                x_o, new_lst, v0_o = layer_scan7(
+                    mega_local, lst, x_in, mask,
+                    rescale if do_rescale else None, LN_EPS, GN_EPS, L2_EPS,
+                    v0_carry=(v0_pipe, meta),
+                )
+            else:
+                # V4/V5/V6 have no cross-stage value-residual carry —
+                # only x crosses the pipe; meta[0,1] is the global layer
+                # offset (keeps a stage-split rescale modulo aligned)
+                x_o, new_lst = layer_scan56(
+                    mega_local, lst, x_in, mask,
+                    rescale if do_rescale else None, LN_EPS, GN_EPS,
+                    goff=meta[0, 1],
+                )
+                v0_o = v0_pipe
             # gate the UPDATE VALUE, not the whole array: a
             # jnp.where(active, dus(state), state) would read+write every
             # [lps, G, B, ...] leaf (incl. the f32 wkv tensor) each tick;
@@ -230,7 +256,9 @@ def make_pp_generator(
 
             perm = [(i, (i + 1) % S) for i in range(S)]
             x_nxt = jax.lax.ppermute(x_o, axis, perm)
-            v0_nxt = jax.lax.ppermute(v0_o, axis, perm)
+            # v0 only crosses stages on V7 (value-residual anchor)
+            v0_nxt = (jax.lax.ppermute(v0_o, axis, perm)
+                      if version == 7 else v0_pipe)
             return (x_nxt, v0_nxt, tok_table, state, out)
 
         zeros = jnp.zeros((B, C), jnp.float32)
@@ -296,21 +324,19 @@ class PipelinedDecoder:
         top_p: float = 0.0,
         rescale: int | None = None,
     ):
-        if "mega7" not in params:
-            from ..ops.pallas.layer7 import prep_decode7
+        if "mega7" not in params and "mega56" not in params:
+            from ..models.loader import prepare_decode
 
-            mega = prep_decode7(params, info)
-            if mega is None:
+            params = prepare_decode(params, info, batch_hint=1)
+            if "mega7" not in params and "mega56" not in params:
                 raise UnsupportedFeature(
-                    "pipelined decode needs a uniformly quantized V7 "
-                    "stack (layer-scan decode blocks)"
+                    "pipelined decode needs a uniformly quantized "
+                    "V4/V5/V6/V7 stack (layer-scan decode blocks)"
                 )
-            params = dict(params)
-            params["mega7"] = mega
         self.info = info
         self.mesh = mesh
         self.axis = axis
-        self._static = dict(params["mega7"].static)
+        self._static = dict(_find_mega(params).static)
         self._pp = make_pp_params(params, mesh, axis=axis)
         self._sampling = dict(
             temperature=temperature, top_k=top_k, top_p=top_p,
