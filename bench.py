@@ -275,7 +275,7 @@ def main():
     log(f"decode  Q4_K_M fused-loop batch1: {q4km_decode:.1f} tok/s "
         f"({EXTRAS['v7_q4km_b1']})")
 
-    signal.alarm(520)  # extras get their own budget (incl. v6/v5/v4 rows)
+    signal.alarm(560)  # extras' own budget (incl. v6/v5/v4 + dense rows)
     try:
         # serving batch on the real format first (most-reported extra)
         q4km_decode8 = _bench_decode(info, params_m1, B=8,
@@ -366,6 +366,14 @@ def main():
         bf16_decode = _bench_decode(info, params_d, extra_key="v7_bf16_b1",
                                     hbm_peak=hbm_peak)
         log(f"decode  bf16 fused-loop batch1: {bf16_decode:.1f} tok/s")
+        # dense residents at B=16: the Engine's AUTO decode policy from
+        # B>=DECODE_DENSE_MIN_B (round 5) — measured 1.39x the quantized
+        # plain-bf16 point in the same session (22.9k vs 16.5k)
+        bf16_decode16 = _bench_decode(info, params_d, B=16,
+                                      extra_key="v7_dense_b16",
+                                      hbm_peak=hbm_peak)
+        log(f"decode  dense-resident batch16 (auto policy): "
+            f"{bf16_decode16:.1f} tok/s")
         bf16_prefill = _bench_prefill(info, params_d)
         log(f"prefill bf16 (T=256):          {bf16_prefill:.0f} tok/s")
         EXTRAS["v7_bf16_prefill_t256"] = {"tok_s": round(bf16_prefill, 0)}

@@ -509,12 +509,33 @@ def test_auto_prefill_dense_policy():
     assert not auto_prefill_dense(0, {"bytes_limit": 16 * GB}, "tpu")
 
 
+def test_auto_decode_dense_policy():
+    """Batches >= DECODE_DENSE_MIN_B auto-promote to dense bf16
+    residents through the fused kernel's plain-dot branch when HBM fits
+    (measured fused-vs-fused crossover vs the narrow quantized path:
+    dense 15.8k vs 12.2k at B=8, 22.9k vs 16.5k at B=16); smaller
+    batches and memory-tight devices stay quantized."""
+    from web_rwkv_gguf_tpu.runtime.engine import (
+        DECODE_DENSE_MIN_B, auto_decode_dense,
+    )
+
+    GB = 1 << 30
+    stats = {"bytes_limit": 16 * GB}
+    assert auto_decode_dense(DECODE_DENSE_MIN_B, 1 * GB, stats, "tpu")
+    assert auto_decode_dense(16, 1 * GB, stats, "tpu")
+    assert not auto_decode_dense(1, 1 * GB, stats, "tpu")
+    assert not auto_decode_dense(DECODE_DENSE_MIN_B - 1, 1 * GB, stats, "tpu")
+    # dense copy would not clearly fit -> stay quantized
+    assert not auto_decode_dense(16, 8 * GB, stats, "tpu")
+    # unknown memory off-TPU: never densify without an opt-in
+    assert not auto_decode_dense(16, 1 * GB, None, "cpu")
+
+
 def test_auto_decode_precise_policy():
     """High-batch engines default to the plain-bf16 rounding class (the
     reference's own f16-dequant accuracy class) — measured 16.5k vs
     13.7k tok/s at B=16 (scripts/bench_b16_dense_ab.py); smaller batches
-    keep the FMA-exact process default. Dense-weight auto-promotion was
-    measured a dead end (13.3k) and is explicit-opt-in only."""
+    keep the FMA-exact process default."""
     from web_rwkv_gguf_tpu.runtime.engine import (
         DECODE_FAST_MIN_B, auto_decode_precise,
     )

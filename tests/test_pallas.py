@@ -522,18 +522,21 @@ def test_unrolled_grouped_rkv_forward_matches_stacked():
 
 @pytest.mark.parametrize("quant,B,C", [
     ("q4k", 1, 64), ("q8_0", 1, 64),  # group-expanded gemv (narrow batch)
+    ("q4k", 2, 64),  # n=2 narrow: the selection-dot group_expand form
     ("q4k", 5, 64), ("q8_0", 5, 64),  # `wide` gemv (scales into codes)
     # C=256: every k % 256 == 0 -> the NATIVE scale-factor operands
     # (6-bit codes + super-scales, formed into st/off in-kernel) apply to
     # every q4k matrix; at C=64 only ffn.Wv (k=n_hidden=256) is native
     ("q4k", 1, 256), ("q4k", 5, 256),
     ("q4k", 16, 64),  # MAX_SCAN_BATCH: the full wide path at B=16
+    (None, 1, 64), (None, 5, 64),  # dense bf16: plain-dot branch
 ])
 def test_layer_scan7_matches_forward(quant, B, C):
     """Whole-stack decode kernel (one pallas_call, grid over layers) vs
     the composed forward_chunk path, over several carried decode steps —
     both nibble-split (Q4_K) and signed-byte (Q8_0) code kinds, both
-    in-kernel gemv strategies (batch 5 > config.wide_batch exercises `wide`),
+    in-kernel gemv strategies (batch 5 exercises the n>2 vectorized
+    NARROW reduction; batch 16 > config.scan_wide_batch exercises `wide`),
     and both scale-operand forms (f32 products / native factors)."""
     from web_rwkv_gguf_tpu.models import forward_chunk, init_state
     from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, L2_EPS, embed_tokens
@@ -625,6 +628,7 @@ def test_layer_scan7_matches_forward(quant, B, C):
     (5, "q4k", 1), (5, "q4k", 5),    # V5: static mixes/decay variant
     (4, "q4k", 1), (4, "q4k", 5),    # V4: per-channel max-trick WKV
     (4, "q8_0", 1),
+    (6, None, 1), (4, None, 1),      # dense bf16: plain-dot branch
 ])
 def test_layer_scan56_matches_forward(version, quant, B):
     """Whole-stack V4/V5/V6 decode kernel vs the composed forward_chunk

@@ -14,10 +14,18 @@ from web_rwkv_gguf_tpu.parallel.pipeline import make_pipeline_forward, pipeline_
 import fixtures
 
 
-def test_pipeline_matches_single():
-    info, params = load_model(
-        GgufFile(fixtures.make_v7_gguf(n_layer=4, n_emb=32, head_size=8, n_vocab=64))
-    )
+@pytest.mark.parametrize("version", ["v7", "v6", "v5", "v4"])
+def test_pipeline_matches_single(version):
+    make = {
+        "v7": lambda: fixtures.make_v7_gguf(n_layer=4, n_emb=32,
+                                            head_size=8, n_vocab=64),
+        "v6": lambda: fixtures.make_v6_gguf(n_layer=4, n_emb=32,
+                                            head_size=8, n_vocab=64),
+        "v5": lambda: fixtures.make_v5_gguf(n_layer=4, n_emb=32,
+                                            head_size=8, n_vocab=64),
+        "v4": lambda: fixtures.make_v4_gguf(n_layer=4, n_emb=32, n_vocab=64),
+    }[version]
+    info, params = load_model(GgufFile(make()))
     M, B, T = 3, 2, 8
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, info.num_vocab, (M, B, T)), jnp.int32)

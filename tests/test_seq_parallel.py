@@ -81,11 +81,31 @@ def test_seq_parallel_prefill_matches_single():
     assert rel < 0.02, rel
 
 
-def test_seq_parallel_rejects_non_v7():
-    info, params = load_model(GgufFile(fixtures.make_v4_gguf()))
+def test_seq_parallel_v4():
+    """V4 sequence-parallel prefill: the static per-channel decay makes
+    each device chunk an affine map on the true state value; parity vs
+    the single-device serial scan (max-trick rounding differs, so
+    tolerance not bit-equality)."""
+    info, params = load_model(
+        GgufFile(fixtures.make_v4_gguf(n_layer=2, n_emb=16, n_vocab=32))
+    )
+    B, T = 2, 128
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, info.num_vocab, (B, T)), jnp.int32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    x_want, st_want = forward_chunk(info, params, init_state(info, B), tokens, lengths)
+
     mesh = make_mesh(1, 4, devices=jax.devices()[:4])
-    with pytest.raises(NotImplementedError):
-        make_seq_parallel_prefill(info, mesh)
+    spf = make_seq_parallel_prefill(info, mesh, axis="model")
+    x_got, st_got = spf(params, init_state(info, B), tokens)
+    for k in st_want:
+        np.testing.assert_allclose(
+            np.asarray(st_got[k]), np.asarray(st_want[k]), rtol=1e-3, atol=1e-3,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(x_got[:, :32]), np.asarray(x_want[:, :32]), rtol=1e-3, atol=1e-3
+    )
 
 
 def test_seq_parallel_v6():

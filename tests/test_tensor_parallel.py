@@ -66,22 +66,15 @@ def test_tp_forward_matches_single(quantize):
         )
 
 
-def test_tp_forward_v4_gate():
-    import dataclasses
-
-    from web_rwkv_gguf_tpu.models.info import ModelVersion
-
-    info, params = _model()
-    mesh = make_mesh(1, 8)
-    info_v4 = dataclasses.replace(info, version=ModelVersion.V4)
-    with pytest.raises(NotImplementedError):
-        make_tp_forward(info_v4, mesh, params)
-
-
-@pytest.mark.parametrize("version", ["v5", "v6"])
+@pytest.mark.parametrize("version", ["v4", "v5", "v6"])
 def test_tp_forward_v5_v6(version):
-    maker = fixtures.make_v5_gguf if version == "v5" else fixtures.make_v6_gguf
-    raw = maker(n_layer=2, n_emb=64, head_size=8, n_vocab=96)
+    maker = {
+        "v4": fixtures.make_v4_gguf,
+        "v5": fixtures.make_v5_gguf,
+        "v6": fixtures.make_v6_gguf,
+    }[version]
+    kw = {} if version == "v4" else {"head_size": 8}
+    raw = maker(n_layer=2, n_emb=64, n_vocab=96, **kw)
     info, params = load_model(GgufFile(raw), dtype=jnp.float32)
     B = 2
     tokens = jnp.asarray(

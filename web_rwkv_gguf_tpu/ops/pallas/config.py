@@ -16,9 +16,21 @@ interpret: bool = False  # force interpreter mode (debugging / CPU tests)
 # surfaces the knob. Narrow-batch (B <= wide_batch) is exact either way.
 wide_precise: bool = True
 
-# smallest batch routed to the `wide` gemv strategy in the layer-scan
-# kernel (below/equal: group-expansion). Read at trace time.
+# smallest batch routed to the `wide` gemv strategy in the STANDALONE
+# tiled kernels (below/equal: group-expansion; above, the tile model
+# `matmul._narrow_wins` can still pick narrow per shape). Read at
+# trace time.
 wide_batch: int = 2
+
+# same switch for the LAYER-SCAN kernels (layer7/layer56), which have
+# no per-shape tile model — one strategy serves the whole stack.
+# Default 8 (round 5): the in-kernel narrow n>=2 form was REBUILT
+# (exact 0/1 selection-dot group expansion — the old expand_dims
+# construction never compiled on Mosaic at n>=2), and the rebuilt
+# narrow beats wide at every batch through 8 while staying FMA-exact:
+# in-session A/B (2026-08-21) b4 9.4-10.0k narrow vs 6.7k wide, b8
+# 12.2-12.6k vs 10.4k; wide retakes it at b16 (13.4k vs 12.8k exact).
+scan_wide_batch: int = 8
 
 # slab (prefill) kernel: token count at/above which per-group scales
 # expand across lanes on the VPU (broadcast+concat) instead of the MXU

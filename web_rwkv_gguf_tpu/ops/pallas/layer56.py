@@ -291,6 +291,8 @@ def _st_off_shim(wrefs, native_tags, tag, j=None):
 
     native = dict(zip(_TAGS, native_tags))[tag]
     sel = (lambda a: a[0, j]) if j is not None else (lambda a: a[0])
+    if native == "dense":
+        return None, None
     if native == "qk":
         _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
         qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
@@ -325,7 +327,8 @@ def _st_off_shim(wrefs, native_tags, tag, j=None):
 def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
     """Build stacked decode blocks for :func:`layer_scan56` from loaded
     V4/V5/V6 params, or None if ineligible (mixed per-layer formats,
-    dense/NF4 matrices, padded FFN, missing stacks)."""
+    NF4 matrices, padded FFN, missing stacks). Dense bf16 stacks prep
+    too (plain-dot branch, see :func:`.layer7._prep_matrix`)."""
     from ...models.info import ModelVersion
 
     version = {ModelVersion.V6: 6, ModelVersion.V5: 5,
@@ -352,8 +355,7 @@ def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
     for key in ("split", "native"):
         if any(p.get(key, False) != rkvg[0].get(key, False) for p in rkvg):
             return None
-    scale_key = _form_keys(rkvg[0])[1]
-    for key in ("codes", scale_key):
+    for key in _form_keys(rkvg[0])[:2]:  # codes + first scale operand
         if any(p[key].shape != rkvg[0][key].shape for p in rkvg):
             return None
     hidden = fk["codes"].shape[1]
@@ -505,7 +507,7 @@ def layer_scan56(
         operands.append(jnp.asarray(goff, f32).reshape(1, 1))
         in_specs.append(full((1, 1)))
 
-    wide = B > config.wide_batch
+    wide = B > config.scan_wide_batch
     wide_map = {tag: wide for tag in _TAGS}
 
     kernel = functools.partial(

@@ -45,7 +45,7 @@ _FORCE_WIDE = None
 
 # largest decode batch routed through the layer-scan kernel; the `wide`
 # gemv strategy (scales expanded into the code planes, see _gemv_val)
-# applies above config.wide_batch lanes. B=16 compiles and holds B=8's
+# applies above config.scan_wide_batch lanes. B=16 compiles and holds B=8's
 # per-lane cost (in-session: 1242.9 us/step vs 578.7 at B=8, same
 # ~72-78 us/lane — state DMA and the attention core scale with B while
 # the wide gemv's MXU tiles stay batch-independent); B=32 exceeds VMEM.
@@ -114,6 +114,12 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False, field1=False):
     rows), half the unpack and plane-dot work. Used for Q6_K/Q3_K
     (codes +64-rebased at prep) and Q5_K/Q2_K (already unsigned).
     """
+    if field1 == "dense":  # bf16 weights: one plain MXU dot
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     n = x.shape[0]
     kdim = codes.shape[-1]
     m2 = m // 2
@@ -253,8 +259,34 @@ def _gemv_val(x, codes, st, off, *, split, m, k, wide=False, field1=False):
     gmask = gmask_bool.astype(jnp.bfloat16)
 
     def group_expand(xpart):  # [n, kdim] -> [n*gh, kdim]
-        x3 = jnp.expand_dims(xpart, 1)
-        return (x3 * jnp.expand_dims(gmask, 0)).reshape(n * gh, kdim)
+        if n == 1:
+            # the middle-unit-dim expand lowers fine when the leading
+            # dim is 1 (a plain 2-D broadcast after folding); a direct
+            # [1,kdim]*[gh,kdim] mul does NOT (offset->replicated
+            # vector.broadcast is unsupported)
+            x3 = jnp.expand_dims(xpart, 1)
+            return (x3 * jnp.expand_dims(gmask, 0)).reshape(gh, kdim)
+        # n >= 2: Mosaic can neither reshape a middle unit dim into a
+        # multi-row vector NOR broadcast a sublane-offset row slice
+        # ("unsupported shape cast" / "vector.broadcast {1,128}->{*}").
+        # Build the expansion instead as one exact 0/1 selection dot
+        # (row i*gh+j copies lane i; single-nonzero f32 dot is exact)
+        # masked by an iota-tiled group mask.
+        f32 = jnp.float32
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (n * gh, n), 0) // gh
+            == jax.lax.broadcasted_iota(jnp.int32, (n * gh, n), 1)
+        ).astype(f32)
+        xrep = jax.lax.dot_general(
+            sel, xpart.astype(f32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        tmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (n * gh, kdim), 1) // gsize
+            == jax.lax.broadcasted_iota(jnp.int32, (n * gh, kdim), 0) % gh
+        )
+        return jnp.where(tmask, xrep, 0.0).astype(xpart.dtype)
 
     def dot(xs, part):
         return jax.lax.dot_general(
@@ -445,6 +477,8 @@ def _layer_scan_kernel(
         as matmul.py::_gemv_kernel2n / _gemv_kernel2n_nomin)."""
         native = dict(zip(("rkv", "wo", "fk", "fv"), native_tags))[tag]
         sel = (lambda a: a[0, j]) if j is not None else (lambda a: a[0])
+        if native == "dense":
+            return None, None
         if native == "qk":
             _, stq_ref, mnq_ref, sd_ref, sdm_ref = wrefs[tag]
             qs = sel(stq_ref).astype(jnp.int32).astype(jnp.float32)
@@ -682,6 +716,8 @@ _QKINDS = ("qk", "qk_b", "qk_nomin", "int8")
 def _form_keys(prep: dict) -> tuple:
     """Operand key tuple for a _prep_matrix form (codes first)."""
     native = prep.get("native") if isinstance(prep, dict) else prep
+    if native == "dense":
+        return ("codes",)
     if native in ("qk", "qkb", "b1f"):
         return ("codes", "stq", "mnq", "sd", "sdm")
     if native == "n1f" or (
@@ -691,8 +727,11 @@ def _form_keys(prep: dict) -> tuple:
     return ("codes", "st", "off")
 
 
-def _field1_tag(native) -> bool:
-    """True for the single-field byte-plane native forms."""
+def _field1_tag(native):
+    """True for the single-field byte-plane native forms; the string
+    ``"dense"`` routes :func:`_gemv_val` to the plain-dot branch."""
+    if native == "dense":
+        return "dense"
     return native in ("n1f", "b1f")
 
 
@@ -746,6 +785,16 @@ def _prep_matrix(mat) -> dict | None:
     """
     from ...models.matrix import Matrix
 
+    if isinstance(mat, Matrix) and mat.kind == "dense":
+        # dense bf16 resident: the "codes" ARE the weights and the
+        # in-kernel gemv is one plain MXU dot — f16-class models (the
+        # reference's primary decode format) ride the same layer-scan
+        # pipeline instead of the composed per-op path
+        w = mat.arrays["w"]
+        if w.ndim != 3 or w.shape[1] % 8:
+            return None
+        return {"codes": jnp.asarray(w).astype(jnp.bfloat16),
+                "split": False, "native": "dense"}
     if not isinstance(mat, Matrix) or mat.kind not in _QKINDS:
         return None
     a = mat.arrays
@@ -844,7 +893,8 @@ def _prep_matrix(mat) -> dict | None:
 def prep_decode7(params: dict, info) -> dict | None:
     """Build the stacked decode blocks for :func:`layer_scan7` from loaded
     V7 params, or None if the model shape is ineligible (mixed per-layer
-    formats, dense/NF4 matrices, padded FFN, missing stacks)."""
+    formats, NF4 matrices, padded FFN, missing stacks). Dense bf16
+    stacks prep too (round 5): the fused kernel's plain-dot branch."""
     blocks = params.get("blocks")
     if isinstance(blocks, list) or not isinstance(blocks, dict):
         return None
@@ -864,8 +914,7 @@ def prep_decode7(params: dict, info) -> dict | None:
     for key in ("split", "native"):
         if any(p.get(key, False) != rkv[0].get(key, False) for p in rkv):
             return None
-    scale_key = _form_keys(rkv[0])[1]
-    for key in ("codes", scale_key):
+    for key in _form_keys(rkv[0])[:2]:  # codes + first scale operand
         if any(p[key].shape != rkv[0][key].shape for p in rkv):
             return None
     hidden = fk["codes"].shape[1]
@@ -1001,7 +1050,7 @@ def layer_scan7(
     # scripts/bench_hybrid_ab.py: all-wide 430.8 us/step vs hybrid 466.4
     # vs narrow-except-fv 482.5 at B=8). _FORCE_WIDE overrides per tag
     # for experiments.
-    wide = B > config.wide_batch
+    wide = B > config.scan_wide_batch
     wide_map = (dict(_FORCE_WIDE) if _FORCE_WIDE is not None
                 else {tag: wide for tag in ("rkv", "wo", "fk", "fv")})
 

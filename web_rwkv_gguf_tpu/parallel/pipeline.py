@@ -3,10 +3,11 @@
 GPipe-style inference schedule: the stacked layer params (and the
 per-layer recurrent state) shard on a ``pp`` mesh axis; microbatches of
 sequences stream through the stages, with the inter-stage payload
-(residual x and the V7 value-residual anchor v0) moving by ``ppermute``.
-With M microbatches and S stages the pipeline runs S+M−1 ticks at
-~M/(S+M−1) utilization. Complements TP/DP (`sharding.py`) and
-sequence-parallel prefill (`sequence.py`); V7 only.
+(residual x and, on V7, the value-residual anchor v0) moving by
+``ppermute``. With M microbatches and S stages the pipeline runs S+M−1
+ticks at ~M/(S+M−1) utilization. Complements TP/DP (`sharding.py`) and
+sequence-parallel prefill (`sequence.py`). Serves every model version;
+below V7 only x crosses stages.
 """
 
 from __future__ import annotations
@@ -16,10 +17,22 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.forward import _layer_v7, embed_tokens
+from ..models.forward import (
+    _layer_v4,
+    _layer_v5,
+    _layer_v6,
+    _layer_v7,
+    embed_tokens,
+)
 from ..models.info import ModelInfo, ModelVersion
 from ..models.matrix import Matrix
 from ..errors import EngineError, UnsupportedFeature
+
+_LAYER_FNS = {
+    ModelVersion.V4: _layer_v4,
+    ModelVersion.V5: _layer_v5,
+    ModelVersion.V6: _layer_v6,
+}
 
 
 def _stage_forward(info, blocks_local, state_local_mb, x, v0, stage, layers_per_stage,
@@ -28,11 +41,20 @@ def _stage_forward(info, blocks_local, state_local_mb, x, v0, stage, layers_per_
     base = stage * layers_per_stage
     layer_ids = base + jnp.arange(layers_per_stage)
 
-    def body(carry, xs):
-        x, v0 = carry
-        blk, lst, idx = xs
-        x, v0, new = _layer_v7(info, blk, lst, x, v0, idx, mask, lengths)
-        return (x, v0), new
+    if info.version == ModelVersion.V7:
+        def body(carry, xs):
+            x, v0 = carry
+            blk, lst, idx = xs
+            x, v0, new = _layer_v7(info, blk, lst, x, v0, idx, mask, lengths)
+            return (x, v0), new
+    else:
+        fn = _LAYER_FNS[info.version]
+
+        def body(carry, xs):
+            x, v0 = carry
+            blk, lst, _ = xs
+            x, new = fn(info, blk, lst, x, mask, lengths)
+            return (x, v0), new
 
     (x, v0), new_state = jax.lax.scan(
         body, (x, v0), (blocks_local, state_local_mb, layer_ids)
@@ -47,7 +69,7 @@ def make_pipeline_forward(
     axis: str = "model",
     num_microbatch: int = 4,
 ):
-    """Build a jitted pipeline-parallel forward for V7.
+    """Build a jitted pipeline-parallel forward (any model version).
 
     ``fn(params, state, tokens [M, B, T], lengths [M, B]) -> (x [M, B, T,
     C], new_state)`` where M = ``num_microbatch`` groups of B sequences.
@@ -55,8 +77,10 @@ def make_pipeline_forward(
     ``axis``; tokens/lengths/outputs are replicated. Apply
     ``models.logits_head`` to the returned x as usual.
     """
-    if info.version != ModelVersion.V7:
-        raise UnsupportedFeature("pipeline-parallel forward is V7-only")
+    if info.version not in _LAYER_FNS and info.version != ModelVersion.V7:
+        raise UnsupportedFeature(
+            f"pipeline-parallel forward: unsupported version {info.version}"
+        )
     L = info.num_layer
     n_stages = mesh.shape[axis]
     if L % n_stages:
@@ -119,7 +143,9 @@ def make_pipeline_forward(
             # hand off to the next stage
             perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
             x_nxt = jax.lax.ppermute(x_o, "pp", perm)
-            v0_nxt = jax.lax.ppermute(v0_o, "pp", perm)
+            # the v0 anchor only exists on V7; skip its ICI traffic below
+            v0_nxt = (jax.lax.ppermute(v0_o, "pp", perm)
+                      if info.version == ModelVersion.V7 else v0_in)
             return (x_nxt, v0_nxt, state, out)
 
         x_in, v0_in, state, out = jax.lax.fori_loop(

@@ -11,8 +11,9 @@ the single boundary activation from the left neighbor (``ppermute``).
 
 This is the RWKV-native answer to ring-attention/Ulysses (cf. SURVEY.md
 §2.6): cross-device traffic is O(H·K²) per layer regardless of sequence
-length. V7 only (the flagship); lengths must equal the full T (no
-padding) — sequence parallelism targets long dense prompts.
+length (O(C) for the diagonal V4/V5/V6 transitions). All model
+versions; lengths must equal the full T (no padding) — sequence
+parallelism targets long dense prompts.
 """
 
 from __future__ import annotations
@@ -173,6 +174,77 @@ def _sp_wkv6(S0, rh, kh, vh, u, wh, axis):
     return wkv6_chunked(S_in, rh, kh, vh, u, wh, mask)
 
 
+def _sp_wkv4(s0, k, v, r, u, w, axis):
+    """Sequence-parallel V4 WKV. The decay is STATIC per channel, so a
+    device's chunk acts on the true state value as ``A_out = e^{T·w}·A_in
+    + A_local`` — affine with a known coefficient. In the stabilized
+    ``(a, b, p)`` representation (value = a·e^p) the composition is one
+    max-trick blend; the second pass reruns the plain serial scan from
+    the composed incoming state, so outputs are the exact recurrence
+    given S_in (same structure as :func:`_sp_wkv6`)."""
+    f32 = jnp.float32
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    T = k.shape[1]
+    mask = jnp.ones(k.shape[:2], bool)
+
+    zero = jnp.stack(
+        [jnp.zeros_like(s0[..., 0]), jnp.zeros_like(s0[..., 0]),
+         jnp.full_like(s0[..., 0], W.F32_MIN)], axis=-1,
+    )
+    _, loc = W.wkv4(zero, k, v, r, u, w, mask)  # local-from-zero final
+    locs = jax.lax.all_gather(loc, axis)  # [n, B, C, 3]
+    decay = T * w.astype(f32)  # log-decay a chunk applies to the old state
+
+    def compose(S, xs):
+        li, i = xs
+        a0, b0, p0 = S[..., 0], S[..., 1], S[..., 2]
+        aL, bL, pL = li[..., 0], li[..., 1], li[..., 2]
+        p0d = p0 + decay
+        q = jnp.maximum(p0d, pL)
+        e1 = jnp.exp(p0d - q)
+        e2 = jnp.exp(pL - q)
+        S_next = jnp.stack(
+            [e1 * a0 + e2 * aL, e1 * b0 + e2 * bL, q], axis=-1
+        )
+        return jnp.where(i < idx, S_next, S), None
+
+    S_in, _ = jax.lax.scan(compose, s0.astype(f32), (locs, jnp.arange(n)))
+    return W.wkv4(S_in, k, v, r, u, w, mask)
+
+
+def _layer_v4_sp(info, blk, lst, x, axis):
+    """Sequence-parallel mirror of models.forward._layer_v4."""
+    att, ffn = blk["att"], blk["ffn"]
+    xx = B.layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], LN_EPS)
+    xprev = _sp_prev_token(xx, lst["att_shift"], axis)
+
+    def shift(mix):  # v4: non-reversed lerp
+        return xprev + mix * (xx - xprev)
+
+    k = att["Wk"].matmul(shift(att["mix_k"]))
+    v = att["Wv"].matmul(shift(att["mix_v"]))
+    r = att["Wr"].matmul(shift(att["mix_r"]))
+
+    s0 = jnp.stack([lst["aa"], lst["bb"], lst["pp"]], axis=-1)
+    y, s4 = _sp_wkv4(s0, k, v, r, att["time_first"], att["time_decay"], axis)
+    x = x + att["Wo"].matmul(y)
+
+    xx2 = B.layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], LN_EPS)
+    xprev2 = _sp_prev_token(xx2, lst["ffn_shift"], axis)
+    kx2 = xprev2 + ffn["mix_k"] * (xx2 - xprev2)
+    rx2 = xprev2 + ffn["mix_r"] * (xx2 - xprev2)
+    kf = B.squared_relu(ffn["Wk"].matmul(kx2))
+    x = x + jax.nn.sigmoid(ffn["Wr"].matmul(rx2)) * ffn["Wv"].matmul(kf)
+
+    new = {
+        "att_shift": xx[:, -1, :],
+        "aa": s4[..., 0], "bb": s4[..., 1], "pp": s4[..., 2],
+        "ffn_shift": xx2[:, -1, :],
+    }
+    return x, new
+
+
 def _layer_v5_sp(info, blk, lst, x, axis):
     """Sequence-parallel mirror of models.forward._layer_v5."""
     from ..models.forward import _heads
@@ -317,8 +389,11 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
     long-prompt regime this mode is for), and T must divide evenly by
     the axis size × 16. Weights are replicated along ``axis``.
     """
-    if info.version not in (ModelVersion.V5, ModelVersion.V6, ModelVersion.V7):
-        raise UnsupportedFeature("sequence-parallel prefill supports V5/V6/V7")
+    if info.version not in (ModelVersion.V4, ModelVersion.V5,
+                            ModelVersion.V6, ModelVersion.V7):
+        raise UnsupportedFeature(
+            "sequence-parallel prefill supports V4/V5/V6/V7"
+        )
     L = info.num_layer
 
     def inner(params, state, tokens):
@@ -329,10 +404,12 @@ def make_seq_parallel_prefill(info: ModelInfo, mesh: Mesh, *, axis: str = "model
         blocks = params["blocks"]
         layer_ids = jnp.arange(L)
 
-        if info.version in (ModelVersion.V5, ModelVersion.V6):
-            layer_fn = (
-                _layer_v5_sp if info.version == ModelVersion.V5 else _layer_v6_sp
-            )
+        if info.version in (ModelVersion.V4, ModelVersion.V5, ModelVersion.V6):
+            layer_fn = {
+                ModelVersion.V4: _layer_v4_sp,
+                ModelVersion.V5: _layer_v5_sp,
+                ModelVersion.V6: _layer_v6_sp,
+            }[info.version]
 
             def body6(x, xs):
                 blk, lst, idx = xs

@@ -145,12 +145,15 @@ def shard_params(params: dict, mesh: Mesh, info: ModelInfo) -> dict:
 
 
 def shard_state(state: dict, mesh: Mesh) -> dict:
-    """Batch on ``data``; WKV heads additionally on ``model``."""
+    """Batch on ``data``; WKV heads (or V4's per-channel aa/bb/pp)
+    additionally on ``model``."""
     out = {}
     for k, a in state.items():
         if k == "wkv":  # [L, B, H, K, V]
             spec = P(None, "data", "model")
-        else:  # [L, B, C]
+        elif k in ("aa", "bb", "pp"):  # [L, B, C] per-channel WKV state
+            spec = P(None, "data", "model")
+        else:  # [L, B, C] token-shift boundaries (input-side: replicated)
             spec = P(None, "data")
         out[k] = jax.device_put(a, NamedSharding(mesh, spec))
     return out

@@ -55,6 +55,9 @@ _COL_FFN = ("Wk", "Wv", "Wr")
 # (input-side params stay replicated and produce local outputs through
 # the sliced up-projections / col-sharded matrices)
 _ATT_SLICES = {
+    # V4's WKV is per-CHANNEL diagonal — the state and the decay/bonus
+    # vectors slice on C exactly like an FFN hidden dim
+    ModelVersion.V4: (("time_first", 1, "C"), ("time_decay", 1, "C")),
     ModelVersion.V5: (("time_first", 2, "H"), ("time_decay", 2, "H")),
     ModelVersion.V6: (("time_first", 2, "H"), ("time_decay", 1, "C"),
                       ("td_w2", 2, "C")),
@@ -369,8 +372,8 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
 
     ``params`` must be placed with :func:`shard_params_tp` (used here
     only for its pytree structure/specs) and the state with
-    :func:`shard_state`. Requires V5/V6/V7 and C/H/hidden divisible by
-    the model-axis size. ``out`` is the last-token logits per lane
+    :func:`shard_state`. Any model version; C/H/hidden must divide the
+    model-axis size. ``out`` is the last-token logits per lane
     (default) or, with ``full_output``, the full residual stream
     ``[B, T, C]`` (apply ``logits_head`` yourself) — both replicated over
     ``model``.
@@ -384,25 +387,36 @@ def make_tp_forward(info: ModelInfo, mesh: Mesh, params: dict, *, rescale=None,
     """
     if info.version not in _ATT_SLICES:
         raise UnsupportedFeature(
-            "shard_map TP implemented for V5/V6/V7 (V4's single-head WKV "
-            "state is channel-wide; use the GSPMD path)"
+            f"shard_map TP: unsupported version {info.version}"
         )
     n = mesh.shape["model"]
-    if info.num_emb % n or info.num_head % n or info.num_hidden % n:
+    # V4 has no head axis (num_head == 1 by convention); its per-channel
+    # state shards on C, so only C/hidden divisibility matters
+    h_ok = info.version == ModelVersion.V4 or info.num_head % n == 0
+    if info.num_emb % n or not h_ok or info.num_hidden % n:
         raise EngineError(f"C/H/hidden must divide model axis ({n})")
 
     specs = _param_specs(params, mesh)
     head_sharded = _spec_for_mat(params["head"], mesh) != P()
-    state_specs = {
-        "att_shift": P(None, "data", None),
-        "wkv": P(None, "data", "model", None, None),
-        "ffn_shift": P(None, "data", None),
-    }
+    if info.version == ModelVersion.V4:
+        state_specs = {
+            "att_shift": P(None, "data", None),
+            "aa": P(None, "data", "model"),
+            "bb": P(None, "data", "model"),
+            "pp": P(None, "data", "model"),
+            "ffn_shift": P(None, "data", None),
+        }
+    else:
+        state_specs = {
+            "att_shift": P(None, "data", None),
+            "wkv": P(None, "data", "model", None, None),
+            "ffn_shift": P(None, "data", None),
+        }
 
     import dataclasses
 
-    # inside the mapped fn every device owns H/n heads
-    info_local = dataclasses.replace(info, num_head=info.num_head // n)
+    # inside the mapped fn every device owns H/n heads (V4: headless)
+    info_local = dataclasses.replace(info, num_head=max(1, info.num_head // n))
 
     def body(params, state, tokens, lengths):
         local = _localize(params, info, "model")

@@ -61,6 +61,34 @@ def auto_prefill_dense(
 # end, recorded in CLAUDE.md).
 DECODE_FAST_MIN_B = 16
 
+# smallest decode batch at which Engine(decode_dense=None) auto-promotes
+# to dense bf16 residents served through the fused kernel's plain-dot
+# branch (quantized arrays stay as the cold copy). Measured in-session
+# crossover (2026-08-21, fused-vs-fused back-to-back A/B against the
+# rebuilt NARROW quantized path): quantized wins B<=2 (b1 5.0k vs 2.6k,
+# b2 7.3k vs 5.1k) and ties at B=4 (9.4k vs 9.2k — quantized keeps ~3x
+# less HBM, so it stays); dense wins decisively from B=8
+# (15.8k vs 12.2k) and B=16 (22.9k vs 16.5k plain-bf16 / 13.4k exact).
+DECODE_DENSE_MIN_B = 8
+
+
+def auto_decode_dense(
+    num_batch: int, extra_bytes: int, memory_stats: dict | None,
+    platform: str,
+) -> bool:
+    """Default policy for ``Engine(decode_dense=None)``: serve dense
+    bf16 residents through the fused kernel's plain-dot branch when the
+    batch is at/above ``DECODE_DENSE_MIN_B`` AND the dense copy clearly
+    fits in HBM (same fit rule as :func:`auto_prefill_dense`).
+
+    Accuracy class: bf16-rounded weights (~2^-8) — the same class as
+    the reference engine, which dequantizes K-quants to f16 at load
+    (ref: gguf.rs:1785). ``Engine(decode_dense=False)`` restores the
+    quantized FMA-exact path at any batch."""
+    return num_batch >= DECODE_DENSE_MIN_B and auto_prefill_dense(
+        extra_bytes, memory_stats, platform
+    )
+
 
 def auto_decode_precise(num_batch: int, default: bool = True) -> bool:
     """Default policy for ``Engine(decode_precise=None)``: batches at or
@@ -144,11 +172,12 @@ class Engine:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
-        # Decode accuracy class for batches above ~2 lanes: True (the
-        # config default) keeps the double-bf16 correction (~2^-16,
-        # FMA-class); False selects plain-bf16 dequant rounding (~2^-9,
-        # the XLA-fallback / reference-f16 class) for maximum wide-batch
-        # throughput. Narrow batches (B <= 2) are exact either way.
+        # Decode accuracy class for batches above config.scan_wide_batch
+        # (8) lanes: True (the config default) keeps the double-bf16
+        # correction (~2^-16, FMA-class); False selects plain-bf16
+        # dequant rounding (~2^-9, the XLA-fallback / reference-f16
+        # class) for maximum wide-batch throughput. Narrow batches
+        # (B <= scan_wide_batch) are exact either way.
         # PER-ENGINE: the flag is applied as a scoped trace-time value
         # around this engine's jit INVOCATIONS (_precision_scope), so
         # engines with different settings coexist in one process — each
@@ -174,14 +203,21 @@ class Engine:
         except Exception:  # backends without memory_stats
             _mem_stats, _platform = None, ""
 
-        # decode-side dense weights: EXPLICIT opt-in only. The round-4
-        # hypothesis that high-batch decode should auto-promote to dense
-        # residents measured FALSE (see DECODE_FAST_MIN_B note: dense
-        # 13.3k vs quantized 13.7k at B=16) — the auto high-batch lever
-        # is the rounding class above instead. The knob remains for
-        # configurations where dense is known to win; the quantized
-        # arrays stay resident as the cold copy (params_quantized).
+        # Decode-side dense residents: AUTO at batch >= DECODE_DENSE_MIN_B
+        # when HBM fits (round 5). The round-4 "dense loses at B=16"
+        # measurement (13.3k vs 13.7k) was on the COMPOSED dense path —
+        # the fused layer-scan kernel's dense plain-dot branch flips it
+        # (see the DECODE_DENSE_MIN_B crossover table above). Small
+        # batches stay quantized: decode is weight-DMA-bound there and
+        # dense is ~2.9x the bytes. The quantized arrays stay resident
+        # as the cold copy (params_quantized).
         self.params_quantized = None
+        if decode_dense is None and mesh is None:
+            from ..models.loader import dense_cache_bytes
+
+            decode_dense = auto_decode_dense(
+                num_batch, dense_cache_bytes(params), _mem_stats, _platform
+            )
         if decode_dense and mesh is None:
             from ..models.loader import densify_matrices
 
@@ -693,7 +729,22 @@ class EnginePool:
         if engine_kwargs.get("mesh") is None and not isinstance(
             params.get("blocks"), list
         ):
-            if engine_kwargs.pop("decode_dense", None):
+            dd = engine_kwargs.pop("decode_dense", None)
+            if dd is None:
+                # pool-level auto (the per-engine policy, resolved once
+                # here so every engine shares the same dense buffers)
+                from ..models.loader import dense_cache_bytes
+
+                try:
+                    dev = jax.devices()[0]
+                    _ms, _plat = dev.memory_stats(), dev.platform
+                except Exception:
+                    _ms, _plat = None, ""
+                dd = auto_decode_dense(
+                    self.group_sizes[0], dense_cache_bytes(params),
+                    _ms, _plat,
+                )
+            if dd:
                 from ..models.loader import densify_matrices
 
                 self.params_quantized = params
