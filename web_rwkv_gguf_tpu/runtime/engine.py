@@ -260,6 +260,12 @@ class Engine:
             from ..models.loader import densify_matrices
 
             self._params_prefill = densify_matrices(params)
+        # fused-generator / prefill-sampler caches: make_generator
+        # returns a fresh jit each call, so an uncached generate() would
+        # RETRACE the whole steps-long scan every invocation (hundreds
+        # of ms against a ~25 ms segment) — keyed per sampling config
+        self._gen_cache: dict = {}
+        self._sampler_cache: dict = {}
         self.state = init_state(info, num_batch)
         if mesh is not None:
             from ..parallel import shard_state
@@ -595,11 +601,14 @@ class Engine:
 
     # -- fused generation --------------------------------------------------
 
-    def _gen_prefill(self, prompts, temperature, top_k, top_p, seed):
+    def _gen_prefill(self, prompts, temperature, top_k, top_p, seed,
+                     device=False):
         """Prefill the prompts and sample the first generated token with
         the SAME on-device sampler as the fused segment loop (greedy /
         temperature / top-k / nucleus, jax PRNG). Returns
-        ``(first [B, 1] int32 numpy, key)``."""
+        ``(first [B, 1] int32, key)`` — a host numpy array, or (with
+        ``device=True``) the un-fetched device array so pooled engines
+        can dispatch every group's prefill before any fetch."""
         from ..models.generate import make_sampler
 
         if len(prompts) != self.num_batch:
@@ -607,16 +616,59 @@ class Engine:
         inp = RnnInput(
             [RnnInputBatch(list(p)) for p in prompts], self.token_chunk_size
         )
+        key = jax.random.key(seed)
+        key, sub = jax.random.split(key)
+        skey = (temperature, top_k, top_p)
+        sample = self._sampler_cache.get(skey)
+        if sample is None:
+            sample = jax.jit(make_sampler(temperature, top_k, top_p))
+            self._sampler_cache[skey] = sample
+
+        if self._ppf is None and self._spf is None:
+            # lean path: logits stay ON DEVICE (generation only needs the
+            # sampled ids) — the infer() loop would fetch every lane's
+            # [V] logits row to the host (B=16, V=65536: 4 MB over this
+            # environment's ~25 ms-RTT tunnel) and re-upload them to
+            # sample; here only the B sampled int32s cross the link
+            logits_dev = None
+            while inp.num_token:
+                plan = inp.plan()
+                lens = [p.len for p in plan]
+                if sum(lens) == 0:
+                    break
+                T = _bucket(max(lens), self.token_chunk_size)
+                tokens = np.zeros((self.num_batch, T), np.int32)
+                for b, (batch, p) in enumerate(zip(inp.batches, plan)):
+                    tokens[b, : p.len] = batch.tokens[: p.len]
+                fw = (
+                    self._params_prefill
+                    if self._params_prefill is not None
+                    and T >= self._prefill_min_t
+                    else self.params
+                )
+                lg, self.state = self._scoped(
+                    self._forward_last, fw, self.state,
+                    jnp.asarray(tokens), jnp.asarray(lens, jnp.int32),
+                )
+                upd = jnp.asarray(
+                    [p.len > 0 for p in plan], jnp.bool_
+                )[:, None]
+                logits_dev = (
+                    lg if logits_dev is None
+                    else jnp.where(upd, lg, logits_dev)
+                )
+                inp.step(plan)
+            first_dev = sample(logits_dev, sub)[:, None]
+            if device:
+                return first_dev, key
+            return np.asarray(first_dev, np.int32), key
+
         last_logits = [None] * self.num_batch
         while inp.num_token:
             out = self.infer(inp)
             for b in range(self.num_batch):
                 if len(out[b]):
                     last_logits[b] = out[b][-1]
-
-        key = jax.random.key(seed)
-        key, sub = jax.random.split(key)
-        sample = jax.jit(make_sampler(temperature, top_k, top_p))
         first = np.asarray(
             sample(jnp.asarray(np.stack(last_logits)), sub), np.int32
         )[:, None]
@@ -650,24 +702,36 @@ class Engine:
         first, key = self._gen_prefill(prompts, temperature, top_k, top_p, seed)
 
         stop_tokens = stop_tokens or set()
-        gen = make_generator(
-            self.info, steps=segment, temperature=temperature, top_k=top_k,
-            top_p=top_p, stop_ids=tuple(sorted(stop_tokens)),
-        )
+        gkey = (segment, temperature, top_k, top_p,
+                tuple(sorted(stop_tokens)))
+        gen = self._gen_cache.get(gkey)
+        if gen is None:
+            gen = make_generator(
+                self.info, steps=segment, temperature=temperature,
+                top_k=top_k, top_p=top_p, stop_ids=gkey[4],
+            )
+            self._gen_cache[gkey] = gen
         token = jnp.asarray(first)
         results = [[int(t)] for t in first[:, 0]]
+        segs = []
         produced = 1
         while produced < max_tokens:
             toks, logits, self.state, key, done = self._scoped(
                 gen, self.params, self.state, token, key
             )
-            toks_np = np.asarray(toks)
-            for b in range(self.num_batch):
-                results[b].extend(int(t) for t in toks_np[b])
+            # tokens STAY ON DEVICE between segments — one concat+fetch
+            # at the end replaces a ~25 ms tunnel round-trip per segment
+            segs.append(toks)
             produced += segment
             token = toks[:, -1:]
             if stop_tokens and bool(np.asarray(done).all()):
                 break  # every lane froze on its stop token
+        if segs:
+            all_toks = np.asarray(
+                segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+            )
+            for b in range(self.num_batch):
+                results[b].extend(int(t) for t in all_toks[b])
         trimmed = []
         for seq in results:
             seq = seq[:max_tokens]
@@ -755,6 +819,7 @@ class EnginePool:
         self.engines = [
             Engine(info, params, g, **engine_kwargs) for g in self.group_sizes
         ]
+        self._gen_cache: dict = {}
 
     @property
     def num_lanes(self) -> int:
@@ -784,20 +849,34 @@ class EnginePool:
             prompts[bounds[i] : bounds[i + 1]] for i in range(len(self.engines))
         ]
         stop_tokens = stop_tokens or set()
-        gen = make_generator(
-            self.info, steps=segment, temperature=temperature, top_k=top_k,
-            top_p=top_p, stop_ids=tuple(sorted(stop_tokens)),
-        )
+        # one generator per sampling config, cached across calls (an
+        # uncached make_generator retraces the segment scan every call)
+        gkey = (segment, temperature, top_k, top_p,
+                tuple(sorted(stop_tokens)))
+        gen = self._gen_cache.get(gkey)
+        if gen is None:
+            gen = make_generator(
+                self.info, steps=segment, temperature=temperature,
+                top_k=top_k, top_p=top_p, stop_ids=gkey[4],
+            )
+            self._gen_cache[gkey] = gen
 
         tokens, keys, results = [], [], []
+        # dispatch EVERY group's prefill before fetching any sampled ids
+        # (JAX dispatch is async: engine i+1's prefill overlaps engine
+        # i's device compute and the tiny id fetches)
         for i, (eng, grp) in enumerate(zip(self.engines, groups)):
-            first, key = eng._gen_prefill(
-                grp, temperature, top_k, top_p, seed + i
+            first_dev, key = eng._gen_prefill(
+                grp, temperature, top_k, top_p, seed + i, device=True
             )
-            tokens.append(jnp.asarray(first))
+            tokens.append(first_dev)
             keys.append(key)
+        for i in range(len(self.engines)):
+            first = np.asarray(tokens[i], np.int32)
+            tokens[i] = jnp.asarray(first)
             results.append([[int(t)] for t in first[:, 0]])
 
+        seg_lists: list[list] = [[] for _ in self.engines]
         produced = 1
         while produced < max_tokens:
             outs = []
@@ -812,14 +891,22 @@ class EnginePool:
             ):
                 eng.state = state
                 keys[i] = key
-                toks_np = np.asarray(toks)
-                for b in range(len(results[i])):
-                    results[i][b].extend(int(t) for t in toks_np[b])
+                # tokens stay on device; one concat+fetch per engine at
+                # the end (a per-round fetch costs a tunnel RTT each)
+                seg_lists[i].append(toks)
                 tokens[i] = toks[:, -1:]
                 if stop_tokens and not bool(np.asarray(done).all()):
                     all_done = False
             produced += segment
             if all_done:
                 break
+        for i, segs in enumerate(seg_lists):
+            if not segs:
+                continue
+            all_toks = np.asarray(
+                segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+            )
+            for b in range(len(results[i])):
+                results[i][b].extend(int(t) for t in all_toks[b])
         flat = [seq for grp in results for seq in grp]
         return _trim_stop(flat, max_tokens, stop_tokens)
