@@ -509,6 +509,20 @@ def test_auto_prefill_dense_policy():
     assert not auto_prefill_dense(0, {"bytes_limit": 16 * GB}, "tpu")
 
 
+def test_generate_caches_generator(model):
+    """generate() must reuse one fused generator per sampling config —
+    rebuilding it re-traces the whole segment scan every call (measured
+    7x call overhead over the device tunnel)."""
+    info, params = model
+    eng = Engine(info, params, num_batch=2)
+    out1 = eng.generate([[1, 2, 3], [4, 5]], 6)
+    n_gen = len(eng._gen_cache)
+    out2 = eng.generate([[1, 2, 3], [4, 5]], 6)
+    assert len(eng._gen_cache) == n_gen == 1
+    assert len(eng._sampler_cache) == 1
+    assert [len(o) for o in out1] == [len(o) for o in out2]
+
+
 def test_auto_decode_dense_policy():
     """Batches >= DECODE_DENSE_MIN_B auto-promote to dense bf16
     residents through the fused kernel's plain-dot branch when HBM fits
