@@ -55,6 +55,19 @@ def test_batch_app(model_file, vocab_file, capsys):
     assert "lane 0" in out and "lane 1" in out
 
 
+def test_batch_app_fused(model_file, vocab_file, capsys):
+    from web_rwkv_gguf_tpu.apps import batch
+
+    batch.main([
+        "--model", model_file, "--vocab", vocab_file,
+        "--prompt", "ab", "--prompt", "xyz", "--max-tokens", "4",
+        "--sampler", "greedy", "--fused",
+    ])
+    out = capsys.readouterr().out
+    assert "lane 0" in out and "lane 1" in out
+    assert "8 tokens across 2 lanes" in out
+
+
 def test_inspect_app(model_file, capsys):
     from web_rwkv_gguf_tpu.apps import inspect
 
