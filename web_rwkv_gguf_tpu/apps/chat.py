@@ -58,6 +58,9 @@ def main(argv=None):
                 logits = out[0][-1]
         return logits
 
+    _fused_gen = []  # one generator for the whole chat: a per-turn
+    # make_generator would re-trace the segment scan every turn
+
     def generate_fused(logits):
         import jax
         import jax.numpy as jnp
@@ -68,10 +71,12 @@ def main(argv=None):
         if args.sampler not in ("greedy", "nucleus"):
             raise SystemExit("--fused supports the greedy/nucleus samplers")
         temp = 0.0 if args.sampler == "greedy" else args.temp
-        gen = make_generator(
-            info, steps=args.fused, temperature=temp,
-            top_p=args.top_p if args.sampler == "nucleus" else 0.0,
-        )
+        if not _fused_gen:
+            _fused_gen.append(make_generator(
+                info, steps=args.fused, temperature=temp,
+                top_p=args.top_p if args.sampler == "nucleus" else 0.0,
+            ))
+        gen = _fused_gen[0]
 
         def emit(token, reply):
             piece = tokenizer.decode([int(token)]).decode(
