@@ -15,6 +15,7 @@ from . import common
 
 
 def evaluate_ppl(info, params, tokenizer, text, *, chunk=256, max_tokens=None):
+    import jax
     import jax.numpy as jnp
 
     from ..models import forward_chunk, init_state, logits_head
@@ -35,21 +36,25 @@ def evaluate_ppl(info, params, tokenizer, text, *, chunk=256, max_tokens=None):
             jnp.asarray(np.asarray(seg)[None, :], jnp.int32),
             jnp.asarray([len(seg)], jnp.int32),
         )
-        logits = np.asarray(logits_head(params, x[0, : len(seg)]))
-        logp = logits - _logsumexp(logits)
-        # row i (global position pos+i) predicts tokens[pos+i+1]
+        # row i (global position pos+i) predicts tokens[pos+i+1];
+        # sum the NLL ON DEVICE — fetching the [chunk, V] logits to the
+        # host is 64 MB per 256-token chunk at V=65536 over this
+        # environment's tunnel, vs one f32 scalar here
         targets = tokens[pos + 1 : pos + len(seg) + 1]
-        for i, t in enumerate(targets):
-            total_nll -= logp[i, t]
-            total_n += 1
+        if targets:
+            lg = logits_head(params, x[0, : len(targets)])
+            logp = lg - jax.scipy.special.logsumexp(
+                lg, axis=-1, keepdims=True
+            )
+            tgt = jnp.asarray(np.asarray(targets), jnp.int32)
+            nll_seg = -jnp.take_along_axis(
+                logp, tgt[:, None], axis=-1
+            ).sum()
+            total_nll += float(nll_seg)
+            total_n += len(targets)
         pos += len(seg)
     nll = total_nll / total_n
     return math.exp(nll), nll, total_n
-
-
-def _logsumexp(x):
-    m = x.max(axis=-1, keepdims=True)
-    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
 
 
 def compare_f16(args, tokenizer, text):
