@@ -275,7 +275,32 @@ def main():
     log(f"decode  Q4_K_M fused-loop batch1: {q4km_decode:.1f} tok/s "
         f"({EXTRAS['v7_q4km_b1']})")
 
-    signal.alarm(560)  # extras' own budget (incl. v6/v5/v4 + dense rows)
+    # headline-preserving watchdog: the extras below are best-effort —
+    # SIGALRM cannot interrupt a C-level device fetch if the tunnel
+    # stalls hard (documented: minutes, once an hour+), but a daemon
+    # THREAD can still print. If the extras overrun their budget, emit
+    # the already-measured headline (with whatever extras exist) and
+    # exit so the driver never loses the metric.
+    import os
+    import threading
+
+    headline = {
+        "metric": "decode_tok_per_s_rwkv7_0.1b_q4km_batch1",
+        "value": round(q4km_decode, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(q4km_decode / BASELINE_DECODE_Q4K_TPS, 3),
+    }
+    _done = threading.Event()
+
+    def _headline_watchdog():
+        if not _done.wait(720):
+            log("[extras watchdog fired: emitting headline and exiting]")
+            print(json.dumps({**headline, "extras": EXTRAS}), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_headline_watchdog, daemon=True).start()
+
+    signal.alarm(640)  # extras' own budget (incl. v6/v5/v4 + dense rows)
     try:
         # serving batch on the real format first (most-reported extra)
         q4km_decode8 = _bench_decode(info, params_m1, B=8,
@@ -379,6 +404,29 @@ def main():
         EXTRAS["v7_bf16_prefill_t256"] = {"tok_s": round(bf16_prefill, 0)}
         del params_d
 
+        # END-TO-END product surface: Engine.generate per-call rate
+        # (prefill + sampling + segments + host round-trips), B=16 on
+        # the quantized 0.1B — what a serving caller actually observes
+        from web_rwkv_gguf_tpu.runtime import Engine
+
+        info_e, params_e = synthetic_v7_params(quant="q4k")
+        eng = Engine(info_e, params_e, num_batch=16)
+        e_prompts = [[(i * 7 + 3) % 1000 + 1] * 8 for i in range(16)]
+        eng.generate(e_prompts, 128)  # compile + warm
+        best_e = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            eng.generate(e_prompts, 128)
+            best_e = min(best_e, time.perf_counter() - t0)
+        e2e = 16 * 128 / best_e
+        log(f"engine.generate end-to-end (B=16, 128 new tok/call): "
+            f"{e2e:.1f} tok/s")
+        EXTRAS["v7_engine_generate_b16"] = {
+            "tok_s": round(e2e, 1),
+            "dense_auto": eng.params_quantized is not None,
+        }
+        del eng, params_e
+
         # end-to-end GGUF load time (parse + repack + operand build +
         # one device transfer sweep) on a small real file — the
         # reference's bench_format load metric (plan.md:107-108)
@@ -401,18 +449,8 @@ def main():
     finally:
         signal.alarm(0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tok_per_s_rwkv7_0.1b_q4km_batch1",
-                "value": round(q4km_decode, 1),
-                "unit": "tok/s",
-                "vs_baseline": round(q4km_decode / BASELINE_DECODE_Q4K_TPS, 3),
-                "extras": EXTRAS,
-            }
-        ),
-        flush=True,
-    )
+    _done.set()
+    print(json.dumps({**headline, "extras": EXTRAS}), flush=True)
 
 
 if __name__ == "__main__":

@@ -42,11 +42,14 @@ def main(argv=None):
     engine = Engine(info, params, num_batch=B, token_chunk_size=args.token_chunk_size)
 
     if args.fused:
+        if args.sampler not in ("greedy", "nucleus"):
+            raise SystemExit("--fused supports the greedy/nucleus samplers")
         t0 = time.perf_counter()
         outs = engine.generate(
             [tokenizer.encode(pr) for pr in prompts], args.max_tokens,
             temperature=args.temp if args.sampler != "greedy" else 0.0,
             top_p=args.top_p if args.sampler == "nucleus" else 0.0,
+            seed=args.seed if args.seed is not None else 0,
         )
         dt = time.perf_counter() - t0
         total = sum(len(o) for o in outs)

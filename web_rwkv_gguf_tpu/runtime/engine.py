@@ -214,9 +214,20 @@ class Engine:
         self.params_quantized = None
         if decode_dense is None and mesh is None:
             from ..models.loader import dense_cache_bytes
+            from ..ops.pallas.layer7 import scan_batch_slice
 
-            decode_dense = auto_decode_dense(
-                num_batch, dense_cache_bytes(params), _mem_stats, _platform
+            # the policy's win is the fused kernel's dense plain-dot
+            # branch — never auto-promote a config the layer-scan kernel
+            # won't serve (B above the scan cap, mixed per-layer stacks,
+            # Pallas off): composed-dense decode is the measured dead end
+            decode_dense = (
+                auto_decode_dense(
+                    num_batch, dense_cache_bytes(params), _mem_stats,
+                    _platform,
+                )
+                and scan_batch_slice(num_batch) is not None
+                and _pcfg.use_pallas()
+                and not isinstance(params.get("blocks"), list)
             )
         if decode_dense and mesh is None:
             from ..models.loader import densify_matrices
@@ -613,6 +624,11 @@ class Engine:
 
         if len(prompts) != self.num_batch:
             raise TensorError.batch(len(prompts), self.num_batch)
+        if any(len(p) == 0 for p in prompts):
+            raise EngineError(
+                "generate() requires a non-empty prompt per lane "
+                "(there are no logits to sample the first token from)"
+            )
         inp = RnnInput(
             [RnnInputBatch(list(p)) for p in prompts], self.token_chunk_size
         )
@@ -732,15 +748,7 @@ class Engine:
             )
             for b in range(self.num_batch):
                 results[b].extend(int(t) for t in all_toks[b])
-        trimmed = []
-        for seq in results:
-            seq = seq[:max_tokens]
-            for i, t in enumerate(seq):
-                if t in stop_tokens:
-                    seq = seq[: i + 1]
-                    break
-            trimmed.append(seq)
-        return trimmed
+        return _trim_stop(results, max_tokens, stop_tokens)
 
 
 def _trim_stop(seqs: list[list[int]], max_tokens: int, stop_tokens: set[int]):
@@ -796,17 +804,24 @@ class EnginePool:
             dd = engine_kwargs.pop("decode_dense", None)
             if dd is None:
                 # pool-level auto (the per-engine policy, resolved once
-                # here so every engine shares the same dense buffers)
+                # here so every engine shares the same dense buffers);
+                # same fused-kernel eligibility gate as Engine.__init__
                 from ..models.loader import dense_cache_bytes
+                from ..ops.pallas import config as _pcfg
+                from ..ops.pallas.layer7 import scan_batch_slice
 
                 try:
                     dev = jax.devices()[0]
                     _ms, _plat = dev.memory_stats(), dev.platform
                 except Exception:
                     _ms, _plat = None, ""
-                dd = auto_decode_dense(
-                    self.group_sizes[0], dense_cache_bytes(params),
-                    _ms, _plat,
+                dd = (
+                    auto_decode_dense(
+                        self.group_sizes[0], dense_cache_bytes(params),
+                        _ms, _plat,
+                    )
+                    and scan_batch_slice(self.group_sizes[0]) is not None
+                    and _pcfg.use_pallas()
                 )
             if dd:
                 from ..models.loader import densify_matrices
@@ -819,6 +834,13 @@ class EnginePool:
         self.engines = [
             Engine(info, params, g, **engine_kwargs) for g in self.group_sizes
         ]
+        # the auto prefill-dense policy is size-independent, so every
+        # engine derives the IDENTICAL dense cache from the shared
+        # params — keep one copy of those buffers, not one per engine
+        if self.engines and self.engines[0]._params_prefill is not None:
+            for eng in self.engines[1:]:
+                if eng._params_prefill is not None:
+                    eng._params_prefill = self.engines[0]._params_prefill
         self._gen_cache: dict = {}
 
     @property
