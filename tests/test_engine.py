@@ -645,6 +645,27 @@ def test_engine_pool_routing_and_parity(model):
         ref_eng.reset_state()
 
 
+def test_engine_pool_shares_dense_buffers():
+    """Pooled engines must share ONE set of device weight buffers: the
+    pool densifies once (explicit opt-in here; the auto path resolves
+    at pool level too) and every engine holds the same params object."""
+    from web_rwkv_gguf_tpu.quant.ggml import GgmlDType
+    from web_rwkv_gguf_tpu.runtime import EnginePool
+
+    reader = GgufFile(fixtures.make_v7_gguf(
+        n_layer=2, n_emb=32, head_size=8, quantize=GgmlDType.Q8_0,
+    ))
+    info, params = load_model(reader)
+    pool = EnginePool(info, params, 4, lanes_per_engine=2,
+                      decode_dense=True)
+    assert pool.params_quantized is params
+    assert len(pool.engines) == 2
+    assert pool.engines[0].params is pool.engines[1].params
+    # per-engine prefill caches (if any) also share buffers
+    p0 = pool.engines[0]._params_prefill
+    assert all(e._params_prefill is p0 for e in pool.engines)
+
+
 def test_engine_pool_default_cap():
     """Default lanes_per_engine is the fused kernel's batch cap."""
     from web_rwkv_gguf_tpu.ops.pallas.layer7 import MAX_SCAN_BATCH
