@@ -719,6 +719,35 @@ def test_prepare_decode_routes_v6(version):
     )
 
 
+@pytest.mark.parametrize("version", [6, 4])
+def test_layer_scan56_rescale_matches_composed(version):
+    """The every-N-layers residual halving (rescale-discount loads) must
+    agree between the fused kernel and the composed path for V4/V6."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+    from web_rwkv_gguf_tpu.models.forward import LN_EPS, GN_EPS, embed_tokens
+    from web_rwkv_gguf_tpu.ops.pallas.layer56 import layer_scan56, prep_decode56
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v56_params
+
+    info, params = synthetic_v56_params(
+        version=version, n_layer=4, n_emb=64, head_size=16, n_vocab=64,
+        n_hidden=256, rank_tm=8, rank_td=8, quant="q4k",
+    )
+    mega = prep_decode56(params, info)
+    tok = jnp.asarray([[9]], jnp.int32)
+    lens = jnp.ones((1,), jnp.int32)
+    x_ref, _ = forward_chunk(
+        info, params, init_state(info, 1), tok, lens, rescale=2,
+    )
+    x = embed_tokens(params, tok)
+    xo, _ = layer_scan56(
+        mega, init_state(info, 1), x[:, 0], jnp.ones((1,), jnp.float32),
+        2, LN_EPS, GN_EPS,
+    )
+    np.testing.assert_allclose(
+        np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=8e-3
+    )
+
+
 def test_v4_quantized_gguf_routes_fused():
     """A direct-quantized V4 GGUF (legacy "rwkv" arch naming) loads into
     Matrix blocks, prepare_decode attaches mega56, and the fused decode
