@@ -748,6 +748,35 @@ def test_layer_scan56_rescale_matches_composed(version):
     )
 
 
+def test_layer_scan7_rescale_matches_composed():
+    """Same rescale parity pin for the V7 kernel."""
+    from web_rwkv_gguf_tpu.models import forward_chunk, init_state
+    from web_rwkv_gguf_tpu.models.forward import (
+        GN_EPS, L2_EPS, LN_EPS, embed_tokens,
+    )
+    from web_rwkv_gguf_tpu.ops.pallas.layer7 import layer_scan7, prep_decode7
+    from web_rwkv_gguf_tpu.utils.synthetic import synthetic_v7_params
+
+    info, params = synthetic_v7_params(
+        n_layer=4, n_emb=64, head_size=16, n_vocab=64, n_hidden=256,
+        lora_w=8, lora_a=8, lora_g=16, lora_v=8, quant="q4k",
+    )
+    mega = prep_decode7(params, info)
+    tok = jnp.asarray([[9]], jnp.int32)
+    lens = jnp.ones((1,), jnp.int32)
+    x_ref, _ = forward_chunk(
+        info, params, init_state(info, 1), tok, lens, rescale=2,
+    )
+    x = embed_tokens(params, tok)
+    xo, _ = layer_scan7(
+        mega, init_state(info, 1), x[:, 0], jnp.ones((1,), jnp.float32),
+        2, LN_EPS, GN_EPS, L2_EPS,
+    )
+    np.testing.assert_allclose(
+        np.asarray(xo), np.asarray(x_ref[:, 0]), rtol=3e-3, atol=8e-3
+    )
+
+
 def test_v4_quantized_gguf_routes_fused():
     """A direct-quantized V4 GGUF (legacy "rwkv" arch naming) loads into
     Matrix blocks, prepare_decode attaches mega56, and the fused decode
