@@ -283,6 +283,12 @@ class Engine:
 
             self.state = shard_state(self.state, mesh)
         if initial_wkv is not None:
+            if "wkv" not in self.state:
+                raise UnsupportedFeature(
+                    "initial_wkv (pretrained time_state) needs a "
+                    "matrix-state model (V5/V6/V7); V4 carries "
+                    "per-channel (aa, bb, pp) state"
+                )
             # pretrained time_state: [L, H, K, V] broadcast over batch lanes
             wkv = jnp.asarray(initial_wkv)[:, None]
             self.state["wkv"] = jnp.broadcast_to(
