@@ -263,6 +263,36 @@ def test_golden_corrupted_containers():
         f.tensor("a", np.float32)
 
 
+def test_golden_every_truncation_raises_gguferror():
+    """Sweep EVERY prefix of a small valid file through the parser: a
+    truncated container must raise GgufError at header-parse time or at
+    tensor read — never IndexError/struct.error/ValueError or a silent
+    success with garbage (real downloads truncate at arbitrary
+    offsets)."""
+    ok = _build(3, [
+        _kv("k.str", T_STRING, _s("hello")),
+        _kv("k.u32", T_U32, struct.pack("<I", 7)),
+    ], [
+        (("a", (4,), int(GgmlDType.F32)),
+         np.arange(4, dtype=np.float32).tobytes()),
+    ])
+    full = GgufFile(ok)
+    want = full.tensor("a", np.float32)
+    for cut in range(len(ok)):
+        blob = ok[:cut]
+        try:
+            f = GgufFile(blob)
+        except GgufError:
+            continue  # rejected at parse: correct
+        # parsed (tensor data region may be the truncated part): the
+        # tensor read must either succeed bit-exactly or raise GgufError
+        try:
+            got = f.tensor("a", np.float32)
+        except GgufError:
+            continue
+        np.testing.assert_array_equal(got, want, err_msg=f"cut={cut}")
+
+
 def test_golden_align_offset_vectors():
     """The reference's align_offset vectors (gguf.rs:1851-1856) applied
     to the data-offset rounding."""
