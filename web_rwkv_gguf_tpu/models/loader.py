@@ -697,10 +697,33 @@ def load_model(
     # single tree-wide device transfer: everything above computed in
     # numpy (stacks, dtype casts, LoRA blends) — 36 eager jnp ops here
     # used to cost 14.5 s of remote XLA compiles for a tiny model
+    host_params = params
     params = jax.tree.map(
         lambda a: a if isinstance(a, jax.Array) else jnp.asarray(a), params
     )
+    # attach the pre-transfer numpy arrays as host mirrors on each
+    # Matrix (Matrix.host): decode prep / TP placement read weights
+    # host-side, and without the mirror every read is a device→host
+    # fetch back over the link (~30 s for a 0.1B model here). Costs
+    # host RAM about the file size; dropped at any jit/tree boundary.
+    _attach_host_mirrors(params, host_params)
     return info, params
+
+
+def _attach_host_mirrors(placed, host) -> None:
+    """Walk ``placed`` and ``host`` in parallel and set ``Matrix.host``
+    to the pre-transfer numpy array dict (skipping matrices whose
+    arrays were already device-resident)."""
+    if isinstance(placed, Matrix) and isinstance(host, Matrix):
+        if all(not isinstance(a, jax.Array) for a in host.arrays.values()):
+            placed.host = host.arrays
+        return
+    if isinstance(placed, dict) and isinstance(host, dict):
+        for k, v in placed.items():
+            _attach_host_mirrors(v, host.get(k))
+    elif isinstance(placed, list) and isinstance(host, list):
+        for p, h in zip(placed, host):
+            _attach_host_mirrors(p, h)
 
 
 def load_initial_state(reader, info: ModelInfo) -> np.ndarray:

@@ -160,6 +160,12 @@ class Matrix:
     kind: str  # "dense" | "int8" | "nf4" | "qk" | "qk_nomin" (static)
     shape: tuple[int, int]  # logical (M, K) without layer stacking (static)
     arrays: dict[str, Any]  # format-specific arrays (leaves)
+    # optional NUMPY mirror of ``arrays`` attached by the loader (not a
+    # pytree field — dropped at any jit/tree boundary). Decode prep and
+    # TP placement read weights host-side; without the mirror every read
+    # is a device→host transfer over whatever link the device sits
+    # behind (~30 s for a 0.1B model on this environment's tunnel).
+    host: dict | None = None
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))

@@ -344,11 +344,18 @@ def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
         return None
 
     proj_names = ("Wr", "Wk", "Wv") if version == 4 else ("Wr", "Wk", "Wv", "Wg")
-    rkvg = [_prep_matrix(att.get(k)) for k in proj_names]
-    wo = _prep_matrix(att.get("Wo"))
-    fr = _prep_matrix(ffn.get("Wr"))
-    fk = _prep_matrix(ffn.get("Wk"))
-    fv = _prep_matrix(ffn.get("Wv"))
+    from .layer7 import _host_matrices
+
+    fetch = _host_matrices(
+        [att.get(k) for k in proj_names]
+        + [att.get("Wo"), ffn.get("Wr"), ffn.get("Wk"), ffn.get("Wv")]
+    )
+    n_proj = len(proj_names)
+    rkvg = [_prep_matrix(m) for m in fetch[:n_proj]]
+    wo = _prep_matrix(fetch[n_proj])
+    fr = _prep_matrix(fetch[n_proj + 1])
+    fk = _prep_matrix(fetch[n_proj + 2])
+    fv = _prep_matrix(fetch[n_proj + 3])
     preps = {"rkvg": rkvg[0], "wo": wo, "fr": fr, "fk": fk, "fv": fv}
     if any(p is None for p in rkvg) or any(p is None for p in preps.values()):
         return None
@@ -365,11 +372,11 @@ def prep_decode56(params: dict, info) -> DecodeBlocks7 | None:
 
     L = rkvg[0]["codes"].shape[0]
 
-    def f32(a):
-        return jnp.asarray(np.asarray(a), jnp.float32)
+    def f32(a):  # device-native cast: no host round trip per vector
+        return jnp.asarray(a, jnp.float32)
 
     def bf16(a):
-        return jnp.asarray(np.asarray(a)).astype(jnp.bfloat16)
+        return jnp.asarray(a).astype(jnp.bfloat16)
 
     mega = {
         "ln1": jnp.stack([f32(blocks["ln1"]["w"]), f32(blocks["ln1"]["b"])],

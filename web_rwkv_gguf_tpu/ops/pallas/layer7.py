@@ -771,6 +771,34 @@ def _mega_perm(m: int) -> np.ndarray:
     return (r % 2) * (m // 2) + r // 2
 
 
+def _host_matrices(mats: list) -> list:
+    """One BULK device→host transfer of every Matrix's arrays before the
+    numpy prep work. ``_prep_matrix`` reads arrays with ``np.asarray``;
+    on device-resident params each read is a separate transfer (over
+    this environment's tunnel a per-array fetch loop measured 28.9 s for
+    a 0.1B model vs 7.3 s fetched in one batch). Non-Matrix entries pass
+    through unchanged."""
+    from ...models.matrix import Matrix
+
+    out = list(mats)
+    idx = []
+    for i, m in enumerate(mats):
+        if not isinstance(m, Matrix) or m.kind == "dense":
+            continue  # dense prep is a pure device-side cast: no fetch
+        if getattr(m, "host", None) is not None:
+            # loader-attached numpy mirror: zero transfers
+            out[i] = Matrix(m.kind, m.shape, m.host)
+        else:
+            idx.append(i)
+    if not idx:
+        return out
+    fetched = jax.device_get([mats[i].arrays for i in idx])
+    for i, arrs in zip(idx, fetched):
+        m = mats[i]
+        out[i] = Matrix(m.kind, m.shape, arrs)
+    return out
+
+
 def _prep_matrix(mat) -> dict | None:
     """Arrange a stacked quantized Matrix for :func:`_gemv_val`:
     row-permuted unsigned codes, transposed logical scales (with the hi
@@ -905,10 +933,14 @@ def prep_decode7(params: dict, info) -> dict | None:
     if C != H * hs:
         return None
 
-    rkv = [_prep_matrix(att.get(k)) for k in ("Wr", "Wk", "Wv")]
-    wo = _prep_matrix(att.get("Wo"))
-    fk = _prep_matrix(ffn.get("Wk"))
-    fv = _prep_matrix(ffn.get("Wv"))
+    fetch = _host_matrices(
+        [att.get(k) for k in ("Wr", "Wk", "Wv", "Wo")]
+        + [ffn.get("Wk"), ffn.get("Wv")]
+    )
+    rkv = [_prep_matrix(fetch[0]), _prep_matrix(fetch[1]), _prep_matrix(fetch[2])]
+    wo = _prep_matrix(fetch[3])
+    fk = _prep_matrix(fetch[4])
+    fv = _prep_matrix(fetch[5])
     if any(p is None for p in rkv) or wo is None or fk is None or fv is None:
         return None
     for key in ("split", "native"):

@@ -132,7 +132,9 @@ def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
         build_gemv_operands_native_nomin,
     )
 
-    a = m.arrays
+    # prefer the loader's numpy mirror: every np.asarray below is a
+    # device→host transfer otherwise (see models/matrix.Matrix.host)
+    a = m.host if getattr(m, "host", None) is not None else m.arrays
     mdim, k = m.dims()
     m_loc = mdim // n
     keys = [key for key in ("scales", "mins", "mn", "mx", "absmax",
