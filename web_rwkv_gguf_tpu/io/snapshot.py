@@ -56,7 +56,7 @@ def _unflatten(prefix, arrays, manifest, jnp):
 
     entry = manifest[prefix]
     if entry["type"] == "matrix":
-        mat_arrays = {}
+        host_arrays = {}
         bf16 = set(entry.get("bf16", []))
         pfx = prefix + "/"
         for k in arrays.files:
@@ -64,18 +64,23 @@ def _unflatten(prefix, arrays, manifest, jnp):
                 a = arrays[k]
                 if k[len(pfx):] in bf16:
                     a = a.view(ml_dtypes.bfloat16)
-                mat_arrays[k[len(pfx):]] = jnp.asarray(a)
-        mat = Matrix(entry["kind"], tuple(entry["shape"]), mat_arrays)
-        if "codes" in mat_arrays and "st" not in mat_arrays:
+                host_arrays[k[len(pfx):]] = a
+        if "codes" in host_arrays and "st" not in host_arrays:
             from ..models.matrix import recompute_gemv_arrays
 
-            m, k = mat.dims()
-            mat.arrays.update({
-                kk: jnp.asarray(v)  # rebuild is numpy (see matrix._dev)
-                for kk, v in recompute_gemv_arrays(
-                    entry["kind"], mat_arrays, m, k
-                ).items()
-            })
+            mk = Matrix(entry["kind"], tuple(entry["shape"]), host_arrays)
+            m, k = mk.dims()
+            host_arrays.update(
+                recompute_gemv_arrays(entry["kind"], host_arrays, m, k)
+            )
+        mat = Matrix(
+            entry["kind"], tuple(entry["shape"]),
+            {k2: jnp.asarray(v) for k2, v in host_arrays.items()},
+        )
+        # numpy mirror for the decode preps / TP placement (same as
+        # load_model — without it every prep read refetches the weights
+        # from the device; see models/matrix.Matrix.host)
+        mat.host = {k2: np.asarray(v) for k2, v in host_arrays.items()}
         return mat
     if entry["type"] == "dict":
         return {k: _unflatten(f"{prefix}/{k}", arrays, manifest, jnp) for k in entry["keys"]}

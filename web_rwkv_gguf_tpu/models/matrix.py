@@ -167,6 +167,22 @@ class Matrix:
     # behind (~30 s for a 0.1B model on this environment's tunnel).
     host: dict | None = None
 
+    def host_arrays(self) -> dict | None:
+        """The loader-attached numpy mirror, VALIDATED against the live
+        arrays (same keys, shapes, dtypes) so a stale mirror — e.g. a
+        dataclasses.replace that swapped ``arrays`` but carried ``host``
+        along — can never silently feed the decode preps; None when
+        absent or inconsistent."""
+        h = self.host
+        if h is None or set(h) != set(self.arrays):
+            return None
+        for k, v in h.items():
+            a = self.arrays[k]
+            if (tuple(v.shape) != tuple(a.shape)
+                    or np.dtype(v.dtype) != np.dtype(a.dtype)):
+                return None
+        return h
+
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
         return tuple(self.arrays[k] for k in keys), (self.kind, self.shape, keys)

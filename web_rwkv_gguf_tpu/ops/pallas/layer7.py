@@ -785,9 +785,13 @@ def _host_matrices(mats: list) -> list:
     for i, m in enumerate(mats):
         if not isinstance(m, Matrix) or m.kind == "dense":
             continue  # dense prep is a pure device-side cast: no fetch
-        if getattr(m, "host", None) is not None:
+        if (m.kind not in _QKINDS
+                or getattr(m.arrays.get("codes"), "ndim", 0) != 3):
+            continue  # _prep_matrix will reject it: don't pay a fetch
+        host = m.host_arrays()
+        if host is not None:
             # loader-attached numpy mirror: zero transfers
-            out[i] = Matrix(m.kind, m.shape, m.host)
+            out[i] = Matrix(m.kind, m.shape, host)
         else:
             idx.append(i)
     if not idx:

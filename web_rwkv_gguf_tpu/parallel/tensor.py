@@ -132,15 +132,19 @@ def _reshard_gemv_arrays(m: Matrix, n: int) -> dict:
         build_gemv_operands_native_nomin,
     )
 
-    # prefer the loader's numpy mirror: every np.asarray below is a
-    # device→host transfer otherwise (see models/matrix.Matrix.host)
-    a = m.host if getattr(m, "host", None) is not None else m.arrays
+    # prefer the loader's VALIDATED numpy mirror; for mirrorless
+    # matrices convert each needed array to numpy ONCE here — inside
+    # the per-shard loops every np.asarray on a device array would be
+    # a separate device→host transfer (n transfers of the full array
+    # for an n-way mesh; see models/matrix.Matrix.host)
+    a = m.host_arrays() or m.arrays
     mdim, k = m.dims()
     m_loc = mdim // n
     keys = [key for key in ("scales", "mins", "mn", "mx", "absmax",
                             "sc6", "mn6", "d8", "dm8", "q6s", "q6d")
             if key in a]
-    signed = np.asarray(a["codes"]).dtype == np.int8 if "codes" in a else False
+    signed = a["codes"].dtype == np.int8 if "codes" in a else False
+    a = {key: np.asarray(a[key]) for key in keys}
     kdim = k // 2 if m.kind == "qk" else k
 
     def native_piece(s: int) -> dict:
